@@ -1,0 +1,172 @@
+# coding: utf-8
+"""
+Transformer decoder (TPU-native counterpart of joeynmt/decoders.py:498-635).
+
+Two execution paths:
+  - ``__call__``: full-sequence teacher-forced forward (training / scoring),
+    with the CTC head over encoder states (joeynmt/decoders.py:560-565,622-623)
+  - ``init_cache`` + ``decode_step``: KV-cached single-token decoding for
+    search. The reference re-decodes the full prefix every step
+    (joeynmt/search.py:240-253); here cross-attention K/V are projected once
+    and self-attention K/V live in fixed-size ring buffers, giving O(L) decode
+    instead of O(L^2) full-layer recompute.
+"""
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from joeys2t_tpu.models.modules import (
+    TransformerDecoderLayer,
+    sinusoidal_pe,
+    subsequent_mask,
+)
+
+
+class TransformerDecoder(nn.Module):
+    """Masked transformer decoder with optional CTC output layer."""
+
+    num_layers: int = 4
+    num_heads: int = 8
+    hidden_size: int = 512
+    ff_size: int = 2048
+    dropout: float = 0.1
+    emb_dropout: float = 0.1
+    vocab_size: int = 1
+    layer_norm_position: str = "post"  # joeynmt/decoders.py:543 default
+    activation: str = "relu"
+    alpha: float = 1.0
+    # CTC head over encoder output (set for S2T; joeynmt/model.py:452-454)
+    ctc_layer: bool = False
+    # tied softmax: caller passes the embedding table to project with
+    tied_softmax: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def output_size(self) -> int:
+        return self.vocab_size
+
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
+                size=self.hidden_size, ff_size=self.ff_size, num_heads=self.num_heads,
+                dropout=self.dropout, alpha=self.alpha,
+                layer_norm_position=self.layer_norm_position,
+                activation=self.activation, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.emb_dropout_layer = nn.Dropout(rate=self.emb_dropout)
+        if self.layer_norm_position == "pre":
+            self.final_layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                                 name="layer_norm")
+        if not self.tied_softmax:
+            self.output_layer = nn.Dense(self.vocab_size, use_bias=False,
+                                         dtype=self.dtype, name="output_layer")
+        if self.ctc_layer:
+            self.ctc_output_layer = nn.Dense(self.vocab_size, use_bias=False,
+                                             dtype=self.dtype, name="ctc_output_layer")
+
+    def _project_output(self, x: jnp.ndarray) -> jnp.ndarray:
+        # With tied_softmax the parent model projects the hidden states onto the
+        # shared embedding table (joeynmt/model.py:482-490); return hidden as-is.
+        if self.tied_softmax:
+            return x
+        return self.output_layer(x)
+
+    # -------------------------------------------------------------- full pass
+    def __call__(
+        self,
+        trg_embed: jnp.ndarray,  # (B, T, E) embedded target inputs
+        encoder_output: jnp.ndarray,  # (B, S, H)
+        src_mask: Optional[jnp.ndarray],  # (B, 1, S) bool
+        trg_mask: jnp.ndarray,  # (B, 1, T) bool padding mask
+        trg_prompt_embed: Optional[jnp.ndarray] = None,
+        return_attention: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], None, Optional[jnp.ndarray]]:
+        """Returns (logits, hidden, cross_att, None, ctc_logits)
+        (joeynmt/decoders.py:567-625)."""
+        assert trg_mask is not None, "trg_mask required for Transformer"
+        t = trg_embed.shape[1]
+        pe = sinusoidal_pe(t, trg_embed.shape[2]).astype(trg_embed.dtype)
+        x = trg_embed + pe[None, :, :]
+        if trg_prompt_embed is not None:  # joeynmt/decoders.py:600-601
+            x = x + trg_prompt_embed
+        x = self.emb_dropout_layer(x, deterministic=deterministic)
+        x = x.astype(self.dtype)
+
+        # (B, 1, T) & causal (1, T, T) -> (B, T, T) (joeynmt/decoders.py:604)
+        full_trg_mask = trg_mask & subsequent_mask(t)
+
+        att = None
+        last = len(self.layers) - 1
+        for i, layer in enumerate(self.layers):
+            x, layer_att = layer(
+                x=x, memory=encoder_output, src_mask=src_mask, trg_mask=full_trg_mask,
+                return_attention=(return_attention and i == last),
+                deterministic=deterministic)
+            if layer_att is not None:
+                att = layer_att
+
+        if self.layer_norm_position == "pre":
+            x = self.final_layer_norm(x).astype(self.dtype)
+
+        out = self._project_output(x)
+        ctc_out = self.ctc_output_layer(encoder_output) if self.ctc_layer else None
+        return out, x, att, None, ctc_out
+
+    # ------------------------------------------------------------ decode path
+    def init_cache(self, encoder_output: jnp.ndarray, max_len: int,
+                   cache_dtype: Any = None) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Build the decode cache: precomputed cross K/V per layer + zeroed
+        self-attention ring buffers of length ``max_len``."""
+        cache_dtype = cache_dtype or self.dtype
+        b = encoder_output.shape[0]
+        head_size = self.hidden_size // self.num_heads
+        cache = {}
+        for i, layer in enumerate(self.layers):
+            ck, cv = layer.precompute_cross_kv(encoder_output)
+            cache[f"layer_{i}"] = {
+                "cross_k": ck.astype(cache_dtype),
+                "cross_v": cv.astype(cache_dtype),
+                "self_k": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
+                "self_v": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
+            }
+        return cache
+
+    def decode_step(
+        self,
+        trg_embed_t: jnp.ndarray,  # (B, 1, E) embedded current input token
+        index: jnp.ndarray,  # scalar int32 position of this token
+        cache: Dict[str, Dict[str, jnp.ndarray]],
+        src_mask: Optional[jnp.ndarray],
+        trg_prompt_embed_t: Optional[jnp.ndarray] = None,
+        return_attention: bool = False,
+    ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
+        """One decode step. Returns (logits (B, 1, V), new_cache, cross_att)."""
+        size = trg_embed_t.shape[2]
+        max_len = cache["layer_0"]["self_k"].shape[1]
+        pe = sinusoidal_pe(max_len, size).astype(trg_embed_t.dtype)
+        pe_t = jax.lax.dynamic_slice(pe, (index, 0), (1, size))
+        x = trg_embed_t + pe_t[None, :, :]
+        if trg_prompt_embed_t is not None:
+            x = x + trg_prompt_embed_t
+        x = x.astype(self.dtype)
+
+        att = None
+        last = len(self.layers) - 1
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, layer_cache, layer_att = layer.decode_step(
+                x, cache[f"layer_{i}"], index, src_mask,
+                return_attention=(return_attention and i == last))
+            new_cache[f"layer_{i}"] = layer_cache
+            if layer_att is not None:
+                att = layer_att
+
+        if self.layer_norm_position == "pre":
+            x = self.final_layer_norm(x).astype(self.dtype)
+
+        logits = self._project_output(x)
+        return logits, new_cache, att

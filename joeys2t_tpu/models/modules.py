@@ -1,0 +1,509 @@
+# coding: utf-8
+"""
+Transformer / Conformer building blocks as flax.linen modules.
+
+TPU-native redesign of joeynmt/transformer_layers.py:17-565. Differences from
+the reference are architectural, not behavioral:
+  - pure functional modules (params as pytrees), jit/vmap/pjit friendly
+  - explicit KV-cache decode path (`step_self` / `step_cross`) instead of the
+    reference's full-prefix re-decode per step (joeynmt/search.py:240-253)
+  - softmax/layernorm accumulate in float32, matmuls run in the configured
+    compute dtype (bfloat16 on TPU) feeding the MXU
+Math contracts kept: q scaled by 1/sqrt(head_dim), additive -inf masking,
+residual scale `alpha` (DeepNet), pre/post layer-norm placement, LayerNorm
+eps=1e-6, sinusoidal positional encoding (interleaved sin/cos, max_len 5000).
+"""
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Large negative value used for masking attention logits. Finite (instead of
+# the reference's -inf) so fully-masked rows yield uniform-but-ignored softmax
+# outputs rather than NaNs that would poison gradients through XLA fusions.
+NEG_INF = -1e9
+
+
+def build_activation(activation: str = "relu") -> Callable:
+    """Activation map (joeynmt/builders.py:24-41)."""
+    if activation == "relu":
+        return nn.relu
+    if activation == "gelu":
+        return nn.gelu
+    if activation == "tanh":
+        return jnp.tanh
+    if activation == "swish":
+        return nn.silu
+    raise ValueError(
+        "Invalid activation function. Valid options: 'relu', 'gelu', 'tanh', 'swish'.")
+
+
+def sinusoidal_pe(length: int, size: int) -> jnp.ndarray:
+    """Sinusoidal positional encoding table, shape (length, size).
+
+    Interleaved sin (even dims) / cos (odd dims), wavelengths 10000^(2i/d)
+    (joeynmt/transformer_layers.py:181-199).
+    """
+    if size % 2 != 0:
+        raise ValueError(
+            f"Cannot use sin/cos positional encoding with odd dim (got dim={size})")
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, size, 2, dtype=jnp.float32) * -(math.log(10000.0) / size))
+    pe = jnp.zeros((length, size), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class MultiHeadedAttention(nn.Module):
+    """Multi-head attention (joeynmt/transformer_layers.py:17-115).
+
+    Exposes three extra entry points for fast autoregressive decoding:
+      - ``project_kv``: precompute per-head K/V (for cross-attention caching)
+      - ``step_self``: single-step self-attention with a KV ring buffer
+      - ``step_cross``: single-step cross-attention against cached K/V
+    """
+
+    num_heads: int
+    size: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.size % self.num_heads == 0
+        self.head_size = self.size // self.num_heads
+        dense = lambda name: nn.Dense(self.size, dtype=self.dtype, name=name)
+        self.k_layer = dense("k_layer")
+        self.v_layer = dense("v_layer")
+        self.q_layer = dense("q_layer")
+        self.output_layer = dense("output_layer")
+        self.attn_dropout = nn.Dropout(rate=self.dropout)
+
+    # ------------------------------------------------------------------ utils
+    def _split_heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, size) -> (B, T, H, Dh)"""
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.head_size)
+
+    def _merge_heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H, Dh) -> (B, T, size)"""
+        b, t, _, _ = x.shape
+        return x.reshape(b, t, self.size)
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-head key/value projections, shape (B, T, H, Dh) each."""
+        return self._split_heads(self.k_layer(x)), self._split_heads(self.v_layer(x))
+
+    def _attend(
+        self,
+        q: jnp.ndarray,  # (B, Tq, H, Dh)
+        k: jnp.ndarray,  # (B, Tk, H, Dh)
+        v: jnp.ndarray,  # (B, Tk, H, Dh)
+        mask: Optional[jnp.ndarray],  # bool, broadcastable to (B, H, Tq, Tk)
+        deterministic: bool,
+        return_weights: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        q = q / math.sqrt(self.head_size)
+        # (B, H, Tq, Tk) — contraction on MXU, accumulate fp32
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        weights = jax.nn.softmax(scores, axis=-1)  # fp32
+        probs = self.attn_dropout(weights.astype(self.dtype), deterministic=deterministic)
+        context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = self.output_layer(self._merge_heads(context))
+        if return_weights:
+            # average over heads (joeynmt/transformer_layers.py:109-114)
+            return out, jnp.mean(weights, axis=1)
+        return out, None
+
+    # ------------------------------------------------------------ full-length
+    def __call__(
+        self,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        q: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        return_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Full-sequence attention.
+
+        :param mask: bool, (B, 1, Tk) key mask or (B, Tq, Tk) full mask
+        """
+        k_h, v_h = self.project_kv(k)
+        q_h = self._split_heads(self.q_layer(q))
+        if mask is not None:
+            mask = mask[:, None, :, :]  # add head dim -> (B, 1, 1|Tq, Tk)
+        return self._attend(q_h, k_h, v_h, mask, deterministic, return_weights)
+
+    # ------------------------------------------------------------- decode ops
+    def step_self(
+        self,
+        q: jnp.ndarray,  # (B, 1, size)
+        cache_k: jnp.ndarray,  # (B, S_max, H, Dh)
+        cache_v: jnp.ndarray,
+        index: jnp.ndarray,  # scalar int32: current position
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One self-attention decode step with KV cache update.
+
+        Returns (output (B, 1, size), new_cache_k, new_cache_v).
+        """
+        k_h, v_h = self.project_kv(q)  # (B, 1, H, Dh)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_h.astype(cache_k.dtype),
+                                               (0, index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_h.astype(cache_v.dtype),
+                                               (0, index, 0, 0))
+        q_h = self._split_heads(self.q_layer(q))
+        s_max = cache_k.shape[1]
+        valid = (jnp.arange(s_max) <= index)[None, None, None, :]  # causal validity
+        out, _ = self._attend(q_h, cache_k.astype(self.dtype), cache_v.astype(self.dtype),
+                              valid, deterministic=True)
+        return out, cache_k, cache_v
+
+    def step_cross(
+        self,
+        q: jnp.ndarray,  # (B, 1, size)
+        k_h: jnp.ndarray,  # precomputed (B, S, H, Dh)
+        v_h: jnp.ndarray,
+        mask: Optional[jnp.ndarray],  # (B, 1, S) bool
+        return_weights: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """One cross-attention decode step against precomputed K/V."""
+        q_h = self._split_heads(self.q_layer(q))
+        if mask is not None:
+            mask = mask[:, None, :, :]
+        return self._attend(q_h, k_h.astype(self.dtype), v_h.astype(self.dtype), mask,
+                            deterministic=True, return_weights=return_weights)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Position-wise feed-forward layer (joeynmt/transformer_layers.py:118-168)."""
+
+    input_size: int
+    ff_size: int
+    dropout: float = 0.1
+    alpha: float = 1.0
+    layer_norm_position: str = "post"
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.layer_norm_position in {"pre", "post"}
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")
+        self.dense1 = nn.Dense(self.ff_size, dtype=self.dtype, name="dense1")
+        self.dense2 = nn.Dense(self.input_size, dtype=self.dtype, name="dense2")
+        self.dropout1 = nn.Dropout(rate=self.dropout)
+        self.dropout2 = nn.Dropout(rate=self.dropout)
+        self.act = build_activation(self.activation)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.layer_norm(x).astype(self.dtype)
+        x = self.dense1(x)
+        x = self.act(x)
+        x = self.dropout1(x, deterministic=deterministic)
+        x = self.dense2(x)
+        x = self.dropout2(x, deterministic=deterministic)
+        x = x + self.alpha * residual
+        if self.layer_norm_position == "post":
+            x = self.layer_norm(x).astype(self.dtype)
+        return x
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Self-attention + FFN (joeynmt/transformer_layers.py:216-289)."""
+
+    size: int
+    ff_size: int
+    num_heads: int
+    dropout: float = 0.1
+    alpha: float = 1.0
+    layer_norm_position: str = "post"
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.layer_norm_position in {"pre", "post"}
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")
+        self.src_src_att = MultiHeadedAttention(
+            num_heads=self.num_heads, size=self.size, dropout=self.dropout,
+            dtype=self.dtype, name="src_src_att")
+        self.feed_forward = PositionwiseFeedForward(
+            input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
+            alpha=self.alpha, layer_norm_position=self.layer_norm_position,
+            activation=self.activation, dtype=self.dtype, name="feed_forward")
+        self.dropout_layer = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.layer_norm(x).astype(self.dtype)
+        x, _ = self.src_src_att(x, x, x, mask, deterministic=deterministic)
+        x = self.dropout_layer(x, deterministic=deterministic) + self.alpha * residual
+        if self.layer_norm_position == "post":
+            x = self.layer_norm(x).astype(self.dtype)
+        return self.feed_forward(x, deterministic=deterministic)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Masked self-attention + cross-attention + FFN
+    (joeynmt/transformer_layers.py:292-407)."""
+
+    size: int
+    ff_size: int
+    num_heads: int
+    dropout: float = 0.1
+    alpha: float = 1.0
+    layer_norm_position: str = "post"
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.layer_norm_position in {"pre", "post"}
+        self.trg_trg_att = MultiHeadedAttention(
+            num_heads=self.num_heads, size=self.size, dropout=self.dropout,
+            dtype=self.dtype, name="trg_trg_att")
+        self.src_trg_att = MultiHeadedAttention(
+            num_heads=self.num_heads, size=self.size, dropout=self.dropout,
+            dtype=self.dtype, name="src_trg_att")
+        self.feed_forward = PositionwiseFeedForward(
+            input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
+            alpha=self.alpha, layer_norm_position=self.layer_norm_position,
+            activation=self.activation, dtype=self.dtype, name="feed_forward")
+        self.x_layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="x_layer_norm")
+        self.dec_layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="dec_layer_norm")
+        self.dropout_layer = nn.Dropout(rate=self.dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        memory: jnp.ndarray,
+        src_mask: Optional[jnp.ndarray],
+        trg_mask: Optional[jnp.ndarray],
+        return_attention: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        # 1. target-target self-attention
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.x_layer_norm(x).astype(self.dtype)
+        h1, _ = self.trg_trg_att(x, x, x, mask=trg_mask, deterministic=deterministic)
+        h1 = self.dropout_layer(h1, deterministic=deterministic) + self.alpha * residual
+        if self.layer_norm_position == "post":
+            h1 = self.x_layer_norm(h1).astype(self.dtype)
+
+        # 2. source-target cross-attention
+        h1_residual = h1
+        if self.layer_norm_position == "pre":
+            h1 = self.dec_layer_norm(h1).astype(self.dtype)
+        h2, att = self.src_trg_att(memory, memory, h1, mask=src_mask,
+                                   return_weights=return_attention,
+                                   deterministic=deterministic)
+        h2 = self.dropout_layer(h2, deterministic=deterministic) + self.alpha * h1_residual
+        if self.layer_norm_position == "post":
+            h2 = self.dec_layer_norm(h2).astype(self.dtype)
+
+        out = self.feed_forward(h2, deterministic=deterministic)
+        return out, att
+
+    # ------------------------------------------------------------- decode ops
+    def precompute_cross_kv(self, memory: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project encoder memory to per-head cross-attention K/V once."""
+        return self.src_trg_att.project_kv(memory)
+
+    def decode_step(
+        self,
+        x: jnp.ndarray,  # (B, 1, size)
+        cache: dict,  # {'self_k','self_v','cross_k','cross_v'}
+        index: jnp.ndarray,
+        src_mask: Optional[jnp.ndarray],
+        return_attention: bool = False,
+    ) -> Tuple[jnp.ndarray, dict, Optional[jnp.ndarray]]:
+        """Single decode step with cached self/cross K/V."""
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.x_layer_norm(x).astype(self.dtype)
+        h1, new_k, new_v = self.trg_trg_att.step_self(x, cache["self_k"], cache["self_v"], index)
+        cache = {**cache, "self_k": new_k, "self_v": new_v}
+        h1 = h1 + self.alpha * residual
+        if self.layer_norm_position == "post":
+            h1 = self.x_layer_norm(h1).astype(self.dtype)
+
+        h1_residual = h1
+        if self.layer_norm_position == "pre":
+            h1 = self.dec_layer_norm(h1).astype(self.dtype)
+        h2, att = self.src_trg_att.step_cross(h1, cache["cross_k"], cache["cross_v"],
+                                              src_mask, return_weights=return_attention)
+        h2 = h2 + self.alpha * h1_residual
+        if self.layer_norm_position == "post":
+            h2 = self.dec_layer_norm(h2).astype(self.dtype)
+
+        out = self.feed_forward(h2, deterministic=True)
+        return out, cache, att
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution block (joeynmt/transformer_layers.py:410-475).
+
+    BatchNorm is replaced by LayerNorm over channels: batch statistics are
+    hostile to pjit sharding and padded batches; layer statistics keep the
+    module shard-agnostic. (Capability-equivalent, not bit-identical.)
+    """
+
+    hidden_size: int
+    channels: int
+    depthwise_kernel_size: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert (self.depthwise_kernel_size - 1) % 2 == 0, \
+            "kernel_size should be a odd number for 'SAME' padding"
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")
+        self.pointwise_conv1 = nn.Dense(2 * self.channels, dtype=self.dtype,
+                                        name="pointwise_conv1")
+        self.depthwise_conv = nn.Conv(
+            features=self.channels,
+            kernel_size=(self.depthwise_kernel_size,),
+            strides=(1,),
+            padding=[((self.depthwise_kernel_size - 1) // 2,) * 2],
+            feature_group_count=self.channels,
+            dtype=self.dtype,
+            name="depthwise_conv")
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        self.pointwise_conv2 = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                        name="pointwise_conv2")
+        self.dropout_layer = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # x: (B, T, C)
+        x = self.layer_norm(x).astype(self.dtype)
+        x = self.pointwise_conv1(x)  # (B, T, 2*channels)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)  # GLU over channel dim
+        x = self.depthwise_conv(x)
+        x = self.norm(x).astype(self.dtype)
+        x = nn.hard_swish(x)  # reference uses nn.Hardswish (transformer_layers.py:449)
+        x = self.pointwise_conv2(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        return x
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Conformer block (joeynmt/transformer_layers.py:478-565)."""
+
+    size: int = 512
+    ff_size: int = 2048
+    num_heads: int = 4
+    dropout: float = 0.1
+    depthwise_conv_kernel_size: int = 31
+    alpha: float = 1.0
+    layer_norm_position: str = "pre"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.layer_norm_position in {"pre", "post"}
+        ff = lambda name: PositionwiseFeedForward(
+            input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
+            alpha=self.alpha, layer_norm_position=self.layer_norm_position,
+            dtype=self.dtype, name=name)
+        self.initial_feed_forward = ff("initial_feed_forward")
+        self.final_feed_forward = ff("final_feed_forward")
+        self.src_att_layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                               name="src_att_layer_norm")
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                             name="final_layer_norm")
+        self.src_src_att = MultiHeadedAttention(
+            num_heads=self.num_heads, size=self.size, dropout=self.dropout,
+            dtype=self.dtype, name="src_src_att")
+        self.conv_module = ConvolutionModule(
+            hidden_size=self.size, channels=self.size,
+            depthwise_kernel_size=self.depthwise_conv_kernel_size,
+            dropout=self.dropout, dtype=self.dtype, name="conv_module")
+        self.src_att_dropout = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        x = self.initial_feed_forward(x, deterministic=deterministic)
+        x = 0.5 * x + residual
+
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.src_att_layer_norm(x).astype(self.dtype)
+        x, _ = self.src_src_att(x, x, x, mask, deterministic=deterministic)
+        x = self.src_att_dropout(x, deterministic=deterministic) + self.alpha * residual
+        if self.layer_norm_position == "post":
+            x = self.src_att_layer_norm(x).astype(self.dtype)
+
+        residual = x
+        x = self.conv_module(x, deterministic=deterministic)
+        x = x + self.alpha * residual
+
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.final_layer_norm(x).astype(self.dtype)
+        x = self.final_feed_forward(x, deterministic=deterministic)
+        x = 0.5 * x + residual
+        if self.layer_norm_position == "post":
+            x = self.final_layer_norm(x).astype(self.dtype)
+        return x
+
+
+def subsequent_mask(size: int) -> jnp.ndarray:
+    """Lower-triangular causal mask, bool (1, size, size)
+    (joeynmt/helpers.py:81-90)."""
+    return jnp.tril(jnp.ones((1, size, size), dtype=bool))
+
+
+class Conv1dSubsampler(nn.Module):
+    """Stride-2 Conv1d stack with GLU non-linearity for audio subsampling
+    (joeynmt/encoders.py:311-373; fairseq s2t_transformer).
+
+    Input (B, T, in_channels) -> output (B, T', out_channels) with
+    T' = prod over kernels of floor((T + 2*(k//2) - k) / 2 + 1).
+    """
+
+    in_channels: int
+    mid_channels: int
+    out_channels: int
+    kernel_sizes: Sequence[int] = (3, 3)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        n = len(self.kernel_sizes)
+        convs = []
+        for i, k in enumerate(self.kernel_sizes):
+            out_ch = self.mid_channels if i < n - 1 else self.out_channels * 2
+            convs.append(
+                nn.Conv(
+                    features=out_ch,
+                    kernel_size=(k,),
+                    strides=(2,),
+                    padding=[(k // 2, k // 2)],
+                    dtype=self.dtype,
+                    name=f"conv_{i}",
+                ))
+        self.conv_layers = convs
+
+    @staticmethod
+    def get_out_seq_lens(in_seq_lens: jnp.ndarray, kernel_sizes: Sequence[int]) -> jnp.ndarray:
+        """Output-length formula (joeynmt/encoders.py:348-352)."""
+        out = in_seq_lens.astype(jnp.float32)
+        for k in kernel_sizes:
+            out = jnp.floor((out + 2 * (k // 2) - (k - 1) - 1) / 2 + 1)
+        return out.astype(jnp.int32)
+
+    def __call__(self, x: jnp.ndarray,
+                 src_length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        for conv in self.conv_layers:
+            x = conv(x)
+            a, b = jnp.split(x, 2, axis=-1)
+            x = a * jax.nn.sigmoid(b)  # GLU (torch glu(dim=channel))
+        out_lens = self.get_out_seq_lens(src_length, self.kernel_sizes)
+        return x, out_lens

@@ -1,0 +1,108 @@
+# coding: utf-8
+"""
+CTC loss as a log-space forward DP in JAX (lax.scan over time).
+
+First-party replacement for the reference's cuDNN-backed torch.nn.CTCLoss
+(joeynmt/loss.py:128-130). Semantics matched:
+  - blank id configurable (the reference uses bos_index as blank)
+  - per-example negative log likelihood, no length normalization
+  - ``zero_infinity``: infeasible alignments (input too short for the target)
+    contribute 0 loss and 0 gradient
+Validated against torch.nn.CTCLoss in tests/test_ctc.py.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# log-space "zero" — finite so bf16/f32 arithmetic never produces NaNs
+LOG_ZERO = -1e9
+# losses above this are treated as infeasible (-> zero_infinity)
+INFEASIBLE = 1e8
+
+
+def _logsumexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.where(m <= LOG_ZERO, 0.0, m)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+    return jnp.where(m <= LOG_ZERO, LOG_ZERO, out)
+
+
+def _shift_right(x, fill=LOG_ZERO):
+    return jnp.concatenate([jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+                           axis=-1)
+
+
+@partial(jax.jit, static_argnames=("blank_id",))
+def ctc_loss(
+    log_probs: jnp.ndarray,  # (B, T, V) log-softmax outputs
+    targets: jnp.ndarray,  # (B, L) int32 label ids (padded arbitrarily)
+    input_lengths: jnp.ndarray,  # (B,)
+    target_lengths: jnp.ndarray,  # (B,)
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Per-example CTC negative log likelihood, shape (B,)."""
+    log_probs = log_probs.astype(jnp.float32)
+    b, t_max, _ = log_probs.shape
+    l_max = targets.shape[1]
+    s_max = 2 * l_max + 1
+
+    # extended label sequence: blank, y1, blank, y2, ..., blank  (B, S)
+    ext = jnp.full((b, s_max), blank_id, dtype=targets.dtype)
+    ext = ext.at[:, 1::2].set(targets)
+
+    # allow the s-2 skip where ext[s] is a label differing from ext[s-2]
+    ext_prev2 = jnp.concatenate(
+        [jnp.full((b, 2), blank_id, ext.dtype), ext[:, :-2]], axis=1)
+    allow_skip = (ext != blank_id) & (ext != ext_prev2)
+    s_idx = jnp.arange(s_max)[None, :]
+    in_range = s_idx < (2 * target_lengths[:, None] + 1)
+
+    # emission log-probs for extended labels: (T, B, S)
+    emit = jnp.take_along_axis(log_probs, ext[:, None, :].repeat(t_max, axis=1),
+                               axis=2)
+    emit = jnp.moveaxis(emit, 1, 0)
+
+    # t = 0: alpha over first two states
+    alpha0 = jnp.full((b, s_max), LOG_ZERO, jnp.float32)
+    alpha0 = alpha0.at[:, 0].set(emit[0][:, 0])
+    if l_max > 0:
+        first_label = jnp.where(target_lengths > 0, emit[0][:, 1], LOG_ZERO)
+        alpha0 = alpha0.at[:, 1].set(first_label)
+    alpha0 = jnp.where(in_range, alpha0, LOG_ZERO)
+
+    def step(alpha, inputs):
+        emit_t, t = inputs
+        prev1 = _shift_right(alpha)
+        prev2 = _shift_right(prev1)
+        prev2 = jnp.where(allow_skip, prev2, LOG_ZERO)
+        new_alpha = _logsumexp3(alpha, prev1, prev2) + emit_t
+        new_alpha = jnp.where(in_range, new_alpha, LOG_ZERO)
+        # freeze once past this example's input length
+        new_alpha = jnp.where((t < input_lengths)[:, None], new_alpha, alpha)
+        return new_alpha, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, (emit[1:], jnp.arange(1, t_max)))
+
+    # final states: ext[2L] (last blank) and ext[2L-1] (last label)
+    last_blank = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None], axis=1)[:, 0]
+    idx_label = jnp.maximum(2 * target_lengths - 1, 0)
+    last_label = jnp.take_along_axis(alpha, idx_label[:, None], axis=1)[:, 0]
+    last_label = jnp.where(target_lengths > 0, last_label, LOG_ZERO)
+
+    m = jnp.maximum(last_blank, last_label)
+    m_safe = jnp.where(m <= LOG_ZERO, 0.0, m)
+    total = m_safe + jnp.log(jnp.exp(last_blank - m_safe) + jnp.exp(last_label - m_safe))
+    total = jnp.where(m <= LOG_ZERO, LOG_ZERO, total)
+    return -total
+
+
+def ctc_loss_sum(log_probs, targets, input_lengths, target_lengths,
+                 blank_id: int = 0, zero_infinity: bool = True) -> jnp.ndarray:
+    """Sum-reduced CTC loss matching nn.CTCLoss(reduction='sum',
+    zero_infinity=...) (joeynmt/loss.py:128-130)."""
+    losses = ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id=blank_id)
+    if zero_infinity:
+        losses = jnp.where(losses > INFEASIBLE, 0.0, losses)
+    return jnp.sum(losses)

@@ -1,0 +1,218 @@
+# coding: utf-8
+"""Model construction + forward shape/consistency tests.
+
+Mirrors the reference's encoder/decoder forward tests
+(test/unit/test_transformer_encoder.py, test_transformer_decoder.py) with
+seeded tiny models, plus (new) KV-cache decode consistency: a cached
+single-step decode must reproduce the full teacher-forced forward.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from joeys2t_tpu.config import SpecialSymbols
+from joeys2t_tpu.models import build_model
+from joeys2t_tpu.models.initialization import initialize_model
+from joeys2t_tpu.vocabulary import Vocabulary
+
+
+def tiny_vocab(n=20):
+    return Vocabulary([f"tok{i}" for i in range(n)], SpecialSymbols())
+
+
+def mt_cfg():
+    return {
+        "initializer": "xavier_uniform",
+        "encoder": {
+            "type": "transformer",
+            "num_layers": 2,
+            "num_heads": 2,
+            "hidden_size": 16,
+            "ff_size": 32,
+            "dropout": 0.1,
+            "embeddings": {"embedding_dim": 16, "scale": True},
+            "layer_norm": "pre",
+        },
+        "decoder": {
+            "type": "transformer",
+            "num_layers": 2,
+            "num_heads": 2,
+            "hidden_size": 16,
+            "ff_size": 32,
+            "dropout": 0.1,
+            "embeddings": {"embedding_dim": 16, "scale": True},
+            "layer_norm": "pre",
+        },
+    }
+
+
+def s2t_cfg():
+    cfg = mt_cfg()
+    cfg["encoder"].update({
+        "subsample": True,
+        "in_channels": 8,
+        "conv_channels": 16,
+        "conv_kernel_sizes": [3, 3],
+        "embeddings": {"embedding_dim": 8},
+    })
+    return cfg
+
+
+def init_model(model, spec, task="MT", batch=2, src_len=7, trg_len=5, in_ch=8):
+    rng = jax.random.PRNGKey(42)
+    if task == "MT":
+        src = jnp.ones((batch, src_len), jnp.int32)
+        src_mask = jnp.ones((batch, 1, src_len), bool)
+    else:
+        src = jnp.ones((batch, src_len, in_ch), jnp.float32)
+        src_mask = None
+    trg_input = jnp.ones((batch, trg_len), jnp.int32)
+    trg_mask = jnp.ones((batch, 1, trg_len), bool)
+    src_length = jnp.full((batch,), src_len, jnp.int32)
+    variables = model.init({"params": rng}, src, trg_input, src_length, src_mask,
+                           trg_mask, deterministic=True)
+    return variables["params"], (src, trg_input, src_length, src_mask, trg_mask)
+
+
+class TestMTForward:
+    def test_shapes_and_init(self):
+        vocab = tiny_vocab()
+        model, spec = build_model(mt_cfg(), src_vocab=vocab, trg_vocab=vocab)
+        params, args = init_model(model, spec, "MT")
+        params = initialize_model(params, mt_cfg(), 1, 1, jax.random.PRNGKey(0))
+        src, trg_input, src_length, src_mask, trg_mask = args
+        logits, ctc_logits, out_mask = model.apply(
+            {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
+            deterministic=True)
+        assert logits.shape == (2, 5, len(vocab))
+        assert ctc_logits is None
+        assert np.all(np.isfinite(np.asarray(logits)))
+        # pad row of embeddings zeroed (joeynmt/initialization.py:212-215)
+        assert np.allclose(np.asarray(params["src_embed"]["lut"]["embedding"])[1], 0.0)
+
+    def test_cache_decode_matches_full_forward(self):
+        """KV-cached step decode == full-prefix forward (greedy parity core)."""
+        vocab = tiny_vocab()
+        model, spec = build_model(mt_cfg(), src_vocab=vocab, trg_vocab=vocab)
+        params, args = init_model(model, spec, "MT")
+        src, trg_input, src_length, src_mask, trg_mask = args
+        rng = np.random.RandomState(7)
+        trg_input = jnp.asarray(rng.randint(4, len(vocab), size=(2, 5)), jnp.int32)
+
+        enc_out, _, enc_mask = model.apply(
+            {"params": params}, src, src_length, src_mask, method="encode")
+        # full forward logits
+        full_logits, _, _, _, _ = model.apply(
+            {"params": params}, trg_input, enc_out, enc_mask,
+            jnp.ones((2, 1, 5), bool), method="decode")
+
+        # stepwise with cache
+        cache = model.apply({"params": params}, enc_out, 8, method="init_cache")
+        step_logits = []
+        for t in range(5):
+            logits_t, cache, _ = model.apply(
+                {"params": params}, trg_input[:, t:t + 1], jnp.int32(t), cache,
+                enc_mask, method="decode_step")
+            step_logits.append(np.asarray(logits_t[:, 0]))
+        step_logits = np.stack(step_logits, axis=1)
+        np.testing.assert_allclose(np.asarray(full_logits), step_logits, atol=1e-4)
+
+
+class TestS2TForward:
+    def test_subsampler_lengths_and_ctc(self):
+        vocab = tiny_vocab()
+        model, spec = build_model(s2t_cfg(), src_vocab=None, trg_vocab=vocab)
+        params, args = init_model(model, spec, "S2T", src_len=37)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        logits, ctc_logits, out_mask = model.apply(
+            {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
+            deterministic=True)
+        # length formula: two stride-2 convs with k=3, pad=1: 37 -> 19 -> 10
+        assert out_mask.shape == (2, 1, 10)
+        assert ctc_logits.shape == (2, 10, len(vocab))
+        assert logits.shape == (2, 5, len(vocab))
+
+    def test_subsample_length_formula(self):
+        from joeys2t_tpu.models.modules import Conv1dSubsampler
+
+        # golden values from torch formula (joeynmt/encoders.py:348-352)
+        lens = jnp.array([1, 5, 10, 37, 100, 999])
+        out = Conv1dSubsampler.get_out_seq_lens(lens, (3, 3))
+        np.testing.assert_array_equal(np.asarray(out), [1, 2, 3, 10, 25, 250])
+
+
+class TestConformer:
+    def test_forward(self):
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        cfg["encoder"]["type"] = "conformer"
+        cfg["encoder"]["depthwise_conv_kernel_size"] = 5
+        model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+        params, args = init_model(model, spec, "S2T", src_len=21)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        logits, ctc_logits, out_mask = model.apply(
+            {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
+            deterministic=True)
+        assert logits.shape == (2, 5, len(vocab))
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestRecurrent:
+    def test_rnn_forward(self):
+        vocab = tiny_vocab()
+        cfg = {
+            "encoder": {
+                "type": "recurrent",
+                "rnn_type": "gru",
+                "hidden_size": 10,
+                "num_layers": 2,
+                "bidirectional": True,
+                "embeddings": {"embedding_dim": 8},
+            },
+            "decoder": {
+                "type": "recurrent",
+                "rnn_type": "gru",
+                "hidden_size": 10,
+                "num_layers": 2,
+                "attention": "bahdanau",
+                "init_hidden": "bridge",
+                "embeddings": {"embedding_dim": 8},
+            },
+        }
+        model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+        params, args = init_model(model, spec, "MT", src_len=6, trg_len=4)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        logits, ctc_logits, out_mask = model.apply(
+            {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
+            deterministic=True)
+        assert logits.shape == (2, 4, len(vocab))
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestTiedWeights:
+    def test_tied_embeddings_and_softmax(self):
+        vocab = tiny_vocab()
+        cfg = mt_cfg()
+        cfg["tied_embeddings"] = True
+        cfg["tied_softmax"] = True
+        model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+        params, args = init_model(model, spec, "MT")
+        # single shared embedding table; no separate decoder output kernel
+        flat_keys = set()
+
+        def walk(d, prefix=()):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + (k,))
+                else:
+                    flat_keys.add("/".join(prefix + (k,)))
+
+        walk(params)
+        assert not any("output_layer" in k and "decoder" in k.split("/")[0]
+                       for k in flat_keys if k.startswith("decoder/output_layer"))
+        src, trg_input, src_length, src_mask, trg_mask = args
+        logits, _, _ = model.apply(
+            {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
+            deterministic=True)
+        assert logits.shape == (2, 5, len(vocab))
