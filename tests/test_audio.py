@@ -1,0 +1,107 @@
+# coding: utf-8
+"""Audio front-end golden tests.
+
+The key cross-framework check: our first-party kaldi fbank vs the golden
+values the reference stored from torchaudio.compliance.kaldi.fbank
+(test/unit/test_tokenizer.py:322-327, wav 260-123440-1.wav + CMVN)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from joeys2t_tpu.data.audio_io import get_features, pad_features, read_wav
+from joeys2t_tpu.data.augmentation import CMVN, SpecAugment, cmvn_jax, specaugment_jax
+from joeys2t_tpu.ops.fbank import fbank_numpy, num_frames
+
+REF_WAV_DIR = Path("/root/reference/test/data/speech/wav")
+needs_ref = pytest.mark.skipif(not REF_WAV_DIR.is_dir(), reason="reference fixtures absent")
+
+
+class TestFbank:
+    @needs_ref
+    def test_matches_torchaudio_kaldi_golden(self):
+        wav, sr = read_wav(REF_WAV_DIR / "260-123440-1.wav")
+        assert sr == 16000
+        feats = fbank_numpy(wav, sample_rate=sr, num_mel_bins=80)
+        assert feats.shape == (172, 80)  # n_frames column in test.tsv
+        normed = CMVN(norm_means=True, norm_vars=True, before=True)(feats)
+        expected = np.array([
+            -1.0788909, -1.0076448, -1.0421542, -1.0393586, -1.0239305,
+            -0.9921213, -0.95107234, -0.9340749, -0.9119267, -0.8962079,
+        ])
+        np.testing.assert_allclose(normed[0, :10], expected, atol=1e-4)
+
+    @needs_ref
+    def test_jax_matches_numpy(self):
+        from joeys2t_tpu.ops.fbank import fbank_jax
+
+        wav, sr = read_wav(REF_WAV_DIR / "260-123440-0.wav")
+        np_feats = fbank_numpy(wav, sample_rate=sr)
+        jx_feats = np.asarray(fbank_jax(wav))
+        assert np_feats.shape == jx_feats.shape
+        np.testing.assert_allclose(np_feats, jx_feats, atol=2e-3)
+
+    def test_num_frames(self):
+        # 25ms window / 10ms shift at 16k: 400 samples window, 160 shift
+        assert num_frames(400) == 1
+        assert num_frames(399) == 0
+        assert num_frames(560) == 2
+        assert num_frames(16000) == 98
+
+    @needs_ref
+    def test_wav_feature_lookup(self):
+        feats = get_features(REF_WAV_DIR.parent, "wav/260-123440-1.wav")
+        assert feats.shape == (172, 80)
+
+
+class TestPadFeatures:
+    def test_pad_and_trim(self):
+        feats = [np.ones((5, 4), np.float32), np.ones((3, 4), np.float32) * 2]
+        padded, lengths, _ = pad_features(feats, embed_size=4, pad_index=1)
+        assert padded.shape == (2, 5, 4)
+        assert lengths == [5, 3]
+        # pad value is float(pad_index) == 1.0 (joeynmt/helpers_for_audio.py:152)
+        assert padded[1, 4, 0] == 1.0
+
+
+class TestAugmentation:
+    def test_cmvn(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(50, 8).astype(np.float32) * 3 + 5
+        out = CMVN(norm_means=True, norm_vars=True)(x)
+        np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+    def test_cmvn_jax_matches_numpy(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(40, 8).astype(np.float32)
+        np_out = CMVN()(x)
+        jx_out = np.asarray(cmvn_jax(jnp.asarray(x)))
+        np.testing.assert_allclose(np_out, jx_out, atol=1e-5)
+
+    def test_specaugment_masks(self):
+        np.random.seed(3)
+        x = np.ones((100, 80), np.float32)
+        sa = SpecAugment(freq_mask_n=2, freq_mask_f=27, time_mask_n=2, time_mask_t=40)
+        out = sa(x)
+        assert out.shape == x.shape
+        # masked cells take the mean value (==1.0 here, so count via identity)
+        x2 = np.arange(100 * 80, dtype=np.float32).reshape(100, 80)
+        out2 = sa(x2)
+        assert (out2 != x2).any()  # something was masked
+
+    def test_specaugment_too_few_freqs_is_noop(self):
+        x = np.ones((10, 5), np.float32)
+        sa = SpecAugment(freq_mask_f=27)
+        np.testing.assert_array_equal(sa(x), x)
+
+    def test_specaugment_jax(self):
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.random.RandomState(0).randn(60, 80).astype(np.float32))
+        out = specaugment_jax(jax.random.PRNGKey(0), x, jnp.int32(60))
+        assert out.shape == x.shape
+        assert bool((np.asarray(out) != np.asarray(x)).any())
