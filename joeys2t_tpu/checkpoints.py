@@ -1,0 +1,152 @@
+# coding: utf-8
+"""
+Checkpointing: save/load with best-K retention, symlinks, and averaging
+(counterpart of joeynmt/training.py:149-309 and
+scripts/average_checkpoints.py).
+
+Checkpoint = pickled dict with the same logical contents as the reference:
+  model_state (param pytree), optimizer_state, scheduler_state,
+  train_iter_state (sampler RNG state), stats_state.
+"""
+import heapq
+import pickle
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from joeys2t_tpu.helpers import symlink_update
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: Path, state: Dict[str, Any]) -> None:
+    """Write a checkpoint dict (device arrays are pulled to host)."""
+    state = dict(state)
+    for key in ("model_state", "optimizer_state"):
+        if state.get(key) is not None:
+            state[key] = _to_numpy_tree(state[key])
+    path = Path(path)
+    tmp = path.with_suffix(".tmp")
+    with tmp.open("wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)  # atomic on POSIX
+
+
+def load_checkpoint(path: Path) -> Dict[str, Any]:
+    """joeynmt/helpers.py load_checkpoint equivalent."""
+    path = Path(path)
+    assert path.is_file(), f"Checkpoint {path} not found."
+    with path.open("rb") as f:
+        return pickle.load(f)
+
+
+def delete_ckpt(path: Path) -> None:
+    try:
+        logger.info("delete %s", path.as_posix())
+        path.unlink()
+    except FileNotFoundError as e:
+        logger.warning("Wanted to delete old checkpoint %s but file does not exist. (%s)",
+                       path, e)
+
+
+class CheckpointManager:
+    """Best-K heap + latest/best symlinks (joeynmt/training.py:149-218)."""
+
+    def __init__(self, model_dir: Path, keep_best_ckpts: int = 5,
+                 minimize_metric: bool = True):
+        self.model_dir = Path(model_dir)
+        self.keep_best_ckpts = keep_best_ckpts
+        self.minimize_metric = minimize_metric
+        self.ckpt_queue: List[Tuple[float, Path]] = []  # heap
+
+    def save(self, steps: int, state: Dict[str, Any], new_best: bool,
+             score: float) -> Path:
+        model_path = self.model_dir / f"{steps}.ckpt"
+        save_checkpoint(model_path, state)
+        logger.info("Checkpoint saved in %s.", model_path)
+
+        symlink_target = Path(f"{steps}.ckpt")
+        last_path = self.model_dir / "latest.ckpt"
+        prev_path = symlink_update(symlink_target, last_path)
+        best_path = self.model_dir / "best.ckpt"
+        if new_best:
+            prev_path = symlink_update(symlink_target, best_path)
+            assert best_path.resolve().stem == str(steps)
+
+        to_delete = None
+        if not (isinstance(score, float) and np.isnan(score)) \
+                and self.keep_best_ckpts > 0:
+            if len(self.ckpt_queue) < self.keep_best_ckpts:
+                heapq.heappush(self.ckpt_queue, (score, model_path))
+            else:
+                if self.minimize_metric:  # pop the worst (largest) score
+                    # pylint: disable=protected-access
+                    heapq._heapify_max(self.ckpt_queue)
+                    to_delete = heapq._heappop_max(self.ckpt_queue)
+                    heapq.heappush(self.ckpt_queue, (score, model_path))
+                else:
+                    to_delete = heapq.heappushpop(self.ckpt_queue, (score, model_path))
+
+            if to_delete is not None:
+                assert to_delete[1] != model_path  # don't delete the last ckpt
+                if to_delete[1].stem != best_path.resolve().stem:
+                    delete_ckpt(to_delete[1])  # don't delete the best ckpt
+
+            assert len(self.ckpt_queue) <= self.keep_best_ckpts
+
+            # remove old symlink target if it fell out of the queue
+            if prev_path is not None:
+                prev = self.model_dir / prev_path.name \
+                    if not Path(prev_path).is_absolute() else Path(prev_path)
+                if prev.stem not in [c[1].stem for c in self.ckpt_queue] \
+                        and prev.stem != best_path.resolve().stem \
+                        and prev.stem != str(steps) and prev.exists():
+                    delete_ckpt(prev)
+        return model_path
+
+
+def average_checkpoints(paths: List[Path]) -> Dict[str, Any]:
+    """Uniform parameter averaging over checkpoints
+    (scripts/average_checkpoints.py:17-73)."""
+    assert len(paths) > 0
+    avg: Optional[Dict] = None
+    base = None
+    for path in paths:
+        ckpt = load_checkpoint(path)
+        params = ckpt["model_state"]
+        flat = jax.tree.leaves(params)
+        if avg is None:
+            base = ckpt
+            avg = [np.asarray(p, dtype=np.float64) for p in flat]
+        else:
+            for i, p in enumerate(flat):
+                avg[i] = avg[i] + np.asarray(p, dtype=np.float64)
+    n = len(paths)
+    avg = [(a / n) for a in avg]
+    treedef = jax.tree.structure(base["model_state"])
+    orig_leaves = jax.tree.leaves(base["model_state"])
+    new_leaves = [a.astype(np.asarray(o).dtype) for a, o in zip(avg, orig_leaves)]
+    base["model_state"] = jax.tree.unflatten(treedef, new_leaves)
+    # averaged checkpoints carry no optimizer state (fresh start semantics)
+    base["optimizer_state"] = None
+    base["scheduler_state"] = None
+    base["train_iter_state"] = None
+    return base
+
+
+def partial_load(params: Dict, ckpt_params: Dict, prefix: str) -> Dict:
+    """Load a sub-tree (`encoder`/`decoder`) from another checkpoint
+    (joeynmt/training.py:294-309 load_encoder/load_decoder)."""
+    if prefix not in ckpt_params:
+        logger.warning("No `%s` sub-tree found in the checkpoint.", prefix)
+        return params
+    new = dict(params)
+    new[prefix] = ckpt_params[prefix]
+    return new

@@ -1,0 +1,710 @@
+# coding: utf-8
+"""
+Datasets (counterpart of joeynmt/datasets.py), torch-free.
+
+Same dataset taxonomy as the reference: Plaintext / Tsv / Speech (tsv with
+audio feature paths) / Stream / SpeechStream / Huggingface. ``make_iter``
+returns a plain Python iterator of joeys2t_tpu Batch objects with optional
+background-thread prefetch (the reference uses torch DataLoader workers,
+joeynmt/datasets.py:313-323; here host tokenization/feature IO overlaps with
+device steps via a bounded queue).
+"""
+import queue
+import threading
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from joeys2t_tpu.config import ConfigurationError
+from joeys2t_tpu.data.batch import Batch
+from joeys2t_tpu.data.samplers import (
+    RandomSubsetSampler,
+    SentenceBatchSampler,
+    ShardedSubsetSampler,
+    TokenBatchSampler,
+)
+from joeys2t_tpu.helpers import read_list_from_file
+from joeys2t_tpu.tokenizers import BasicTokenizer, SpeechProcessor
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _multi_process() -> bool:
+    try:
+        import jax
+
+        return jax.process_count() > 1
+    except Exception:  # pragma: no cover
+        return False
+
+
+class BaseDataset:
+    """Base dataset: holds tokenizers + sequence encoders, subset indices,
+    prompt concatenation (joeynmt/datasets.py:28-335)."""
+
+    # pylint: disable=too-many-instance-attributes
+
+    def __init__(
+        self,
+        path: str,
+        src_lang: str,
+        trg_lang: str,
+        split: str = "train",
+        has_trg: bool = False,
+        has_prompt: Dict[str, bool] = None,
+        tokenizer: Dict[str, BasicTokenizer] = None,
+        sequence_encoder: Dict[str, Callable] = None,
+        random_subset: int = -1,
+        task: str = "MT",
+    ):
+        self.path = path
+        self.src_lang = src_lang
+        self.trg_lang = trg_lang
+        self.has_trg = has_trg
+        self.split = split
+        if self.split == "train":
+            assert self.has_trg
+
+        self.tokenizer = tokenizer
+        self.sequence_encoder = sequence_encoder
+        self.has_prompt = has_prompt
+        assert self.src_lang in self.tokenizer, self.tokenizer
+        assert self.src_lang in self.sequence_encoder, self.sequence_encoder
+        assert self.src_lang in self.has_prompt, self.has_prompt
+        if self.has_trg:
+            assert self.trg_lang in self.tokenizer, self.tokenizer
+            assert self.trg_lang in self.sequence_encoder, self.sequence_encoder
+            assert self.trg_lang in self.has_prompt, self.has_prompt
+
+        self.random_subset = random_subset
+        self.indices = None  # kept sorted even when shuffling
+        self.seed = 1
+        self.task = task
+
+    def reset_indices(self, random_subset: int = None):
+        self.indices = list(range(len(self))) if len(self) > 0 else []
+        if random_subset is not None:
+            self.random_subset = random_subset
+        if 0 < self.random_subset:
+            assert (self.split != "test" and self.random_subset < len(self)), \
+                ("Can only subsample from train or dev set "
+                 f"larger than {self.random_subset}.")
+
+    def load_data(self, path: Path, **kwargs) -> Any:
+        raise NotImplementedError
+
+    def get_item(self, idx: int, lang: str, is_train: bool = None) -> List[str]:
+        """Tokenize one item; prompt concat `prompt + <sep> + item` with
+        truncation (joeynmt/datasets.py:105-140)."""
+
+        def _remove_escape(item):
+            if (item is not None and self.tokenizer[lang] is not None
+                    and len(item) > 1
+                    and item[0] == self.tokenizer[lang].SPACE_ESCAPE
+                    and item[1] in self.tokenizer[lang].lang_tags):
+                return item[1:]
+            return item
+
+        line, prompt = self.lookup_item(idx, lang)
+        is_train = self.split == "train" if is_train is None else is_train
+        item = _remove_escape(self.tokenizer[lang](line, is_train=is_train))
+
+        if self.has_prompt[lang] and prompt is not None:
+            prompt = _remove_escape(self.tokenizer[lang](prompt, is_train=False))
+            item = item if item is not None else []
+            max_length = self.tokenizer[lang].max_length
+            if 0 < max_length < len(prompt) + len(item) + 1:
+                offset = max_length - len(item) - 1
+                if prompt[0] in self.tokenizer[lang].lang_tags:
+                    prompt = [prompt[0]] + prompt[-(offset - 1):]
+                else:
+                    prompt = prompt[-offset:]
+            item = prompt + [self.tokenizer[lang].sep_token] + item
+        return item
+
+    def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: Union[int, str]) -> Tuple[int, List[str], List[str]]:
+        if idx > len(self):
+            raise KeyError
+        src, trg = None, None
+        src = self.get_item(idx=idx, lang=self.src_lang)
+        if self.has_trg or self.has_prompt[self.trg_lang]:
+            trg = self.get_item(idx=idx, lang=self.trg_lang)
+            if trg is None:
+                src = None
+        return idx, src, trg
+
+    def get_list(self, lang: str, tokenized: bool = False,
+                 subsampled: bool = True) -> Union[List[str], List[List[str]]]:
+        raise NotImplementedError
+
+    @property
+    def src(self) -> List[str]:
+        return self.get_list(self.src_lang, tokenized=False, subsampled=True)
+
+    @property
+    def trg(self) -> List[str]:
+        return (self.get_list(self.trg_lang, tokenized=False, subsampled=True)
+                if self.has_trg else [])
+
+    def collate_fn(self, batch: List[Tuple], pad_index: int,
+                   eos_index: int) -> Batch:
+        """joeynmt/datasets.py:186-242."""
+        idx, src_list, trg_list = zip(*batch)
+        assert len(batch) == len(src_list) == len(trg_list)
+        assert all(s is not None for s in src_list), src_list
+        src, src_length, src_prompt_mask = self.sequence_encoder[self.src_lang](src_list)
+
+        if self.has_trg or self.has_prompt[self.trg_lang]:
+            if self.has_trg:
+                assert all(t is not None for t in trg_list), trg_list
+            trg, trg_length, trg_prompt_mask = self.sequence_encoder[self.trg_lang](
+                trg_list, bos=True, eos=self.has_trg)  # no EOS if not has_trg
+        else:
+            assert all(t is None for t in trg_list)
+            trg, trg_length, trg_prompt_mask = None, None, None
+
+        return Batch(
+            src=(np.asarray(src, dtype=np.int32) if self.task == "MT"
+                 else np.asarray(src, dtype=np.float32)),
+            src_length=np.asarray(src_length, dtype=np.int32),
+            src_prompt_mask=(np.asarray(src_prompt_mask, dtype=np.int32)
+                             if self.has_prompt[self.src_lang] else None),
+            trg=np.asarray(trg, dtype=np.int32) if trg is not None else None,
+            trg_length=(np.asarray(trg_length, dtype=np.int32)
+                        if trg_length is not None else None),
+            trg_prompt_mask=(np.asarray(trg_prompt_mask, dtype=np.int32)
+                             if self.has_prompt[self.trg_lang] else None),
+            indices=np.asarray(idx, dtype=np.int32),
+            pad_index=pad_index,
+            eos_index=eos_index,
+            is_train=self.split == "train",
+            task=self.task,
+        )
+
+    def make_iter(
+        self,
+        batch_size: int,
+        batch_type: str = "sentence",
+        seed: int = 42,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        pad_index: int = 1,
+        eos_index: int = 3,
+        generator_state=None,
+        return_sampler: bool = False,
+    ):
+        """Build the (sampler, batch iterator) pipeline
+        (joeynmt/datasets.py:244-323). ``num_workers > 0`` enables a
+        background prefetch thread."""
+        shuffle = shuffle and self.split == "train"
+
+        if _multi_process() and self.split == "train":
+            sampler = ShardedSubsetSampler(self, shuffle=shuffle, seed=seed)
+        else:
+            sampler = RandomSubsetSampler(self, shuffle=shuffle, seed=seed)
+
+        if batch_type == "sentence":
+            batch_sampler = SentenceBatchSampler(sampler, batch_size=batch_size,
+                                                 drop_last=False, seed=seed)
+        elif batch_type == "token":
+            batch_sampler = TokenBatchSampler(sampler, batch_size=batch_size,
+                                              drop_last=False, seed=seed)
+        else:
+            raise ConfigurationError(f"{batch_type}: Unknown batch type")
+
+        batch_sampler.set_seed(seed)
+        if generator_state is not None:
+            batch_sampler.set_state(generator_state)
+
+        assert self.sequence_encoder[self.src_lang] is not None
+        if self.has_trg:
+            assert self.sequence_encoder[self.trg_lang] is not None
+
+        collate = partial(self.collate_fn, eos_index=eos_index, pad_index=pad_index)
+        iterator = _BatchIterator(self, batch_sampler, collate, num_workers)
+        if return_sampler:
+            return iterator, batch_sampler
+        return iterator
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return (f"{self.__class__.__name__}(split={self.split}, len={len(self)}, "
+                f'src_lang="{self.src_lang}", trg_lang="{self.trg_lang}", '
+                f"has_trg={self.has_trg}, random_subset={self.random_subset}, "
+                f"has_src_prompt={self.has_prompt[self.src_lang]}, "
+                f"has_trg_prompt={self.has_prompt[self.trg_lang]})")
+
+
+class _BatchIterator:
+    """Re-iterable batch pipeline: each ``__iter__`` replays the (seeded)
+    batch sampler, so epoch loops can traverse it repeatedly (torch DataLoader
+    semantics). ``num_workers > 0`` adds a background prefetch thread."""
+
+    def __init__(self, dataset, batch_sampler, collate, num_workers: int):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collate = collate
+        self.num_workers = num_workers
+
+    def __iter__(self) -> Iterator[Batch]:
+        def gen():
+            for index_batch in self.batch_sampler:
+                yield self.collate([self.dataset[i] for i in index_batch])
+
+        if self.num_workers > 0:
+            return _prefetch(gen(), self.num_workers)
+        return gen()
+
+
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Bounded background-thread prefetch."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _sentinel:
+            break
+        yield item
+
+
+class PlaintextDataset(BaseDataset):
+    """One sentence per line text pairs (joeynmt/datasets.py:338-430)."""
+
+    def __init__(self, path, src_lang, trg_lang, split="train", has_trg=True,
+                 has_prompt=None, tokenizer=None, sequence_encoder=None,
+                 random_subset=-1, task="MT", **kwargs):
+        super().__init__(path=path, src_lang=src_lang, trg_lang=trg_lang, split=split,
+                         has_trg=has_trg, has_prompt=has_prompt, tokenizer=tokenizer,
+                         sequence_encoder=sequence_encoder,
+                         random_subset=random_subset, task=task)
+        self.data = self.load_data(path, **kwargs)
+        self.reset_indices()
+
+    def load_data(self, path: str, **kwargs) -> Any:
+        def _pre_process(seq, lang):
+            if self.tokenizer[lang] is not None:
+                seq = [self.tokenizer[lang].pre_process(s) for s in seq if len(s) > 0]
+            return seq
+
+        path = Path(path)
+        src_file = path.with_suffix(f"{path.suffix}.{self.src_lang}")
+        assert src_file.is_file(), f"{src_file} not found. Abort."
+        src_list = read_list_from_file(src_file)
+        data = {self.src_lang: _pre_process(src_list, self.src_lang)}
+        if self.has_trg:
+            trg_file = path.with_suffix(f"{path.suffix}.{self.trg_lang}")
+            assert trg_file.is_file(), f"{trg_file} not found. Abort."
+            trg_list = read_list_from_file(trg_file)
+            data[self.trg_lang] = _pre_process(trg_list, self.trg_lang)
+            assert len(src_list) == len(trg_list)
+        return data
+
+    def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
+        line = self.data[lang][idx]
+        prompt = (self.data[f"{lang}_prompt"][idx]
+                  if f"{lang}_prompt" in self.data else None)
+        return line, prompt
+
+    def get_list(self, lang, tokenized=False, subsampled=True):
+        indices = self.indices if subsampled else range(len(self))
+        item_list = []
+        for idx in indices:
+            item, _ = self.lookup_item(idx, lang)
+            if tokenized:
+                item = self.tokenizer[lang](item, is_train=False)
+            item_list.append(item)
+        assert len(list(indices)) == len(item_list)
+        return item_list
+
+    def __len__(self) -> int:
+        return len(self.data[self.src_lang])
+
+
+class TsvDataset(BaseDataset):
+    """TSV with `src_lang`/`trg_lang` header columns
+    (joeynmt/datasets.py:433-539)."""
+
+    def __init__(self, path, src_lang, trg_lang, split="train", has_trg=True,
+                 has_prompt=None, tokenizer=None, sequence_encoder=None,
+                 random_subset=-1, task="MT", **kwargs):
+        super().__init__(path=path, src_lang=src_lang, trg_lang=trg_lang, split=split,
+                         has_trg=has_trg, has_prompt=has_prompt, tokenizer=tokenizer,
+                         sequence_encoder=sequence_encoder,
+                         random_subset=random_subset, task=task)
+        self.df = self.load_data(path, **kwargs)
+        self.reset_indices()
+
+    def load_data(self, path: str, **kwargs) -> Any:
+        path = Path(path)
+        file_path = path.with_suffix(f"{path.suffix}.tsv")
+        assert file_path.is_file(), f"{file_path} not found. Abort."
+
+        df = pd.read_csv(file_path.as_posix(), sep="\t", header=0,
+                         encoding="utf-8", index_col=None)
+        df = df.dropna()
+        df = df.reset_index()
+
+        assert self.src_lang in df.columns
+        df[self.src_lang] = df[self.src_lang].apply(
+            self.tokenizer[self.src_lang].pre_process)
+
+        if self.trg_lang not in df.columns:
+            self.has_trg = False
+            assert self.split == "test"
+        if self.has_trg:
+            df[self.trg_lang] = df[self.trg_lang].apply(
+                self.tokenizer[self.trg_lang].pre_process)
+        if f"{self.src_lang}_prompt" in df.columns:
+            self.has_prompt[self.src_lang] = True
+            df[f"{self.src_lang}_prompt"] = df[f"{self.src_lang}_prompt"].apply(
+                partial(self.tokenizer[self.src_lang].pre_process, allow_empty=True))
+        if f"{self.trg_lang}_prompt" in df.columns:
+            self.has_prompt[self.trg_lang] = True
+            df[f"{self.trg_lang}_prompt"] = df[f"{self.trg_lang}_prompt"].apply(
+                partial(self.tokenizer[self.trg_lang].pre_process, allow_empty=True))
+        return df
+
+    def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
+        row = self.df.iloc[idx]
+        line = row[lang]
+        prompt = row.get(f"{lang}_prompt", None)
+        return line, prompt
+
+    def get_list(self, lang, tokenized=False, subsampled=True):
+        indices = self.indices if subsampled else range(len(self))
+        df = self.df.iloc[list(indices)]
+        return (df[lang].apply(self.tokenizer[lang]).to_list()
+                if tokenized else df[lang].to_list())
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+
+class SpeechDataset(TsvDataset):
+    """Speech TSV: `id|src|n_frames|trg` manifest; src column holds feature
+    paths resolved by the SpeechProcessor (joeynmt/datasets.py:542-660)."""
+
+    def __init__(self, path, src_lang="src", trg_lang="trg", split="train",
+                 has_trg=True, has_prompt=None, tokenizer=None,
+                 sequence_encoder=None, random_subset=-1, task="S2T", **kwargs):
+        BaseDataset.__init__(self, path=path, src_lang=src_lang, trg_lang=trg_lang,
+                             split=split, has_trg=has_trg, has_prompt=has_prompt,
+                             tokenizer=tokenizer, sequence_encoder=sequence_encoder,
+                             random_subset=random_subset, task=task)
+        self.df = self.load_data(path, **kwargs)
+        assert isinstance(self.tokenizer["src"], SpeechProcessor)
+        self.tokenizer["src"].root_path = Path(path).parent
+        self.reset_indices()
+
+    def load_data(self, path: str, **kwargs) -> Any:
+        path = Path(path)
+        file_path = path.with_suffix(f"{path.suffix}.tsv")
+        assert file_path.is_file(), f"{file_path} not found. Abort."
+
+        dtype = {"id": str, "src": str, "trg": str, "n_frames": int}
+        df = pd.read_csv(file_path.as_posix(), sep="\t", header=0, encoding="utf-8",
+                         escapechar="\\", quoting=3, na_filter=False, dtype=dtype)
+
+        # instances shorter than the conv kernel cannot be convolved
+        min_length = int(self.tokenizer["src"].min_length)
+        df["n_frames"] = df[df["n_frames"] > min_length]["n_frames"]
+        df = df.replace(r"^\s*$", float("nan"), regex=True)
+        df = df.dropna()
+
+        assert "src" in df.columns
+        if "trg" not in df.columns:
+            self.has_trg = False
+            assert self.split == "test"
+        if self.has_trg:
+            df["trg"] = df["trg"].apply(self.tokenizer["trg"].pre_process)
+        self.has_prompt["src"] = False
+        if "trg_prompt" in df.columns:
+            self.has_prompt["trg"] = True
+            df["trg_prompt"] = df["trg_prompt"].apply(
+                partial(self.tokenizer["trg"].pre_process, allow_empty=True))
+        return df
+
+    def __getitem__(self, idx):
+        if idx > len(self):
+            raise KeyError
+        src, trg = None, None
+        src, _ = self.lookup_item(idx=idx, lang="src")
+        src = self.tokenizer["src"](src, is_train=self.split == "train")
+        if self.has_trg or self.has_prompt["trg"]:
+            trg = self.get_item(idx=idx, lang="trg")
+            if trg is None:
+                src = None
+        return idx, src, trg
+
+    @property
+    def src(self) -> List[str]:
+        return self.df["src"]
+
+
+class StreamDataset(BaseDataset):
+    """Interactive stream input for translate mode
+    (joeynmt/datasets.py:663-789)."""
+
+    def __init__(self, path, src_lang, trg_lang, split="test", has_trg=False,
+                 has_prompt=None, tokenizer=None, sequence_encoder=None,
+                 random_subset=-1, task="MT", **kwargs):
+        super().__init__(path=path, src_lang=src_lang, trg_lang=trg_lang, split=split,
+                         has_trg=has_trg, has_prompt=has_prompt, tokenizer=tokenizer,
+                         sequence_encoder=sequence_encoder,
+                         random_subset=random_subset, task=task)
+        self.cache = []
+
+    def _split_at_sep(self, line: str, prompt: str, lang: str, sep_token: str):
+        """joeynmt/datasets.py:701-722."""
+        if (sep_token is not None and line is not None and sep_token in line
+                and prompt is None):
+            line, prompt = line.split(sep_token)
+        if line:
+            line = self.tokenizer[lang].pre_process(line, allow_empty=False)
+        if prompt:
+            prompt = self.tokenizer[lang].pre_process(prompt, allow_empty=True)
+            self.has_prompt[lang] = True
+        return line, prompt
+
+    def set_item(self, src_line: str, trg_line: Optional[str] = None,
+                 src_prompt: Optional[str] = None,
+                 trg_prompt: Optional[str] = None) -> None:
+        assert isinstance(src_line, str) and src_line.strip() != "", \
+            "The input sentence is empty! Please make sure " \
+            "that you are feeding a valid input."
+        src_line, src_prompt = self._split_at_sep(
+            src_line, src_prompt, self.src_lang,
+            getattr(self.tokenizer[self.src_lang], "sep_token", None))
+        assert src_line is not None
+        trg_line, trg_prompt = self._split_at_sep(
+            trg_line, trg_prompt, self.trg_lang,
+            getattr(self.tokenizer[self.trg_lang], "sep_token", None))
+        if self.has_trg:
+            assert trg_line is not None
+        self.cache.append((src_line, trg_line, src_prompt, trg_prompt))
+        self.reset_indices()
+
+    def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
+        assert lang in [self.src_lang, self.trg_lang]
+        src_line, trg_line, src_prompt, trg_prompt = self.cache[idx]
+        if lang == self.src_lang:
+            return src_line, src_prompt
+        return trg_line, trg_prompt
+
+    def reset_cache(self) -> None:
+        self.cache = []
+        self.reset_indices()
+
+    def __len__(self) -> int:
+        return len(self.cache)
+
+
+class SpeechStreamDataset(StreamDataset):
+    """Audio file path stream input (joeynmt/datasets.py:792-863)."""
+
+    def __init__(self, path, src_lang="src", trg_lang="trg", split="test",
+                 has_trg=False, has_prompt=None, tokenizer=None,
+                 sequence_encoder=None, random_subset=-1, task="S2T", **kwargs):
+        super().__init__(path=path, src_lang=src_lang, trg_lang=trg_lang, split=split,
+                         has_trg=has_trg, has_prompt=has_prompt, tokenizer=tokenizer,
+                         sequence_encoder=sequence_encoder,
+                         random_subset=random_subset, task=task)
+        self.has_prompt["src"] = False
+        assert isinstance(self.tokenizer["src"], SpeechProcessor)
+        self.tokenizer["src"].root_path = Path("")
+
+    def set_item(self, src_line: str, trg_line: Optional[str] = None,
+                 src_prompt: Optional[str] = None,
+                 trg_prompt: Optional[str] = None) -> None:
+        assert Path(src_line).is_file(), \
+            f"{src_line} not found. Please provide the absolute path to the file!"
+        if trg_line is not None or trg_prompt is not None:
+            trg_line, trg_prompt = self._split_at_sep(
+                trg_line, trg_prompt, "trg",
+                getattr(self.tokenizer["trg"], "sep_token", None))
+        self.cache.append((src_line, trg_line, None, trg_prompt))
+        self.reset_indices()
+
+    def __getitem__(self, idx):
+        if idx > len(self):
+            raise KeyError
+        src, trg = None, None
+        src, _ = self.lookup_item(idx=idx, lang="src")
+        src = self.tokenizer["src"](src, is_train=False)
+        if self.has_trg or self.has_prompt["trg"]:
+            trg = self.get_item(idx=idx, lang="trg")
+            if trg is None:
+                src = None
+        return idx, src, trg
+
+
+class BaseHuggingfaceDataset(BaseDataset):
+    """HF datasets wrapper (joeynmt/datasets.py:866-969)."""
+
+    COLUMN_NAME = "sentence"
+
+    def __init__(self, path, src_lang, trg_lang, has_trg=True, has_prompt=None,
+                 tokenizer=None, sequence_encoder=None, random_subset=-1,
+                 task="MT", **kwargs):
+        super().__init__(path=path, src_lang=src_lang, trg_lang=trg_lang,
+                         split=kwargs["split"], has_trg=has_trg,
+                         has_prompt=has_prompt, tokenizer=tokenizer,
+                         sequence_encoder=sequence_encoder,
+                         random_subset=random_subset, task=task)
+        self.dataset = self.load_data(path, **kwargs)
+        self._kwargs = kwargs
+        self.reset_indices()
+
+    def load_data(self, path: str, **kwargs) -> Any:
+        from datasets import Dataset as Dataset_hf
+        from datasets import DatasetDict, config, load_dataset, load_from_disk
+
+        if (Path(path, config.DATASET_STATE_JSON_FILENAME).exists()
+                or Path(path, config.DATASETDICT_JSON_FILENAME).exists()):
+            hf_dataset = load_from_disk(path)
+            if isinstance(hf_dataset, DatasetDict):
+                assert kwargs["split"] in hf_dataset
+                hf_dataset = hf_dataset[kwargs["split"]]
+        else:
+            hf_dataset = load_dataset(path, **kwargs)
+        assert isinstance(hf_dataset, Dataset_hf)
+        assert self.COLUMN_NAME in hf_dataset.features
+        return hf_dataset
+
+    def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
+        line = self.dataset[idx]
+        assert lang in line[self.COLUMN_NAME], (line, lang)
+        prompt = line.get(f"{lang}_prompt", None)
+        return line[self.COLUMN_NAME][lang], prompt
+
+    def get_list(self, lang, tokenized=False, subsampled=True):
+        dataset = self.dataset
+        if subsampled:
+            dataset = dataset.filter(lambda x, idx: idx in self.indices,
+                                     with_indices=True)
+            assert len(dataset) == len(self.indices)
+        if tokenized:
+            def _tok(item):
+                item[f"tok_{lang}"] = self.tokenizer[lang](item[self.COLUMN_NAME][lang])
+                return item
+
+            return dataset.map(_tok, desc=f"Tokenizing {lang}...")[f"tok_{lang}"]
+        return dataset.flatten()[f"{self.COLUMN_NAME}.{lang}"]
+
+    def __len__(self) -> int:
+        return self.dataset.num_rows
+
+
+class HuggingfaceTranslationDataset(BaseHuggingfaceDataset):
+    """datasets.features.Translation wrapper (joeynmt/datasets.py:972-1027)."""
+
+    COLUMN_NAME = "translation"
+
+    def load_data(self, path: str, **kwargs) -> Any:
+        dataset = super().load_data(path=path, **kwargs)
+        from datasets.features import Translation as Translation_hf
+
+        assert isinstance(dataset.features[self.COLUMN_NAME], Translation_hf), \
+            f"Please cast `{self.COLUMN_NAME}` column to " \
+            "datasets.features.Translation class."
+        assert self.src_lang in dataset.features[self.COLUMN_NAME].languages
+        if self.has_trg:
+            assert self.trg_lang in dataset.features[self.COLUMN_NAME].languages
+
+        def _pre_process(item):
+            sl, tl = self.src_lang, self.trg_lang
+            item[self.COLUMN_NAME][sl] = self.tokenizer[sl].pre_process(
+                item[self.COLUMN_NAME][sl])
+            if self.has_trg:
+                item[self.COLUMN_NAME][tl] = self.tokenizer[tl].pre_process(
+                    item[self.COLUMN_NAME][tl])
+            if self.has_prompt[sl]:
+                item[f"{sl}_prompt"] = self.tokenizer[sl].pre_process(
+                    item[f"{sl}_prompt"], allow_empty=True)
+            if self.has_prompt[tl]:
+                item[f"{tl}_prompt"] = self.tokenizer[tl].pre_process(
+                    item[f"{tl}_prompt"], allow_empty=True)
+            return item
+
+        def _drop_nan(item):
+            src_item = item[self.COLUMN_NAME][self.src_lang]
+            is_src_valid = src_item is not None and len(src_item) > 0
+            if self.has_trg:
+                trg_item = item[self.COLUMN_NAME][self.trg_lang]
+                return is_src_valid and trg_item is not None and len(trg_item) > 0
+            return is_src_valid
+
+        dataset = dataset.filter(_drop_nan, desc="Dropping NaN...")
+        dataset = dataset.map(_pre_process, desc="Preprocessing...")
+        return dataset
+
+
+def build_dataset(dataset_type: str, path: str, src_lang: str, trg_lang: str,
+                  split: str, tokenizer: Dict = None, sequence_encoder: Dict = None,
+                  has_prompt: Dict = None, random_subset: int = -1,
+                  task: str = "MT", **kwargs):
+    """Dataset factory (joeynmt/datasets.py:1030-1161)."""
+    dataset = None
+    has_trg = True
+    _placeholder = {src_lang: None, trg_lang: None}
+    tokenizer = _placeholder if tokenizer is None else tokenizer
+    sequence_encoder = _placeholder if sequence_encoder is None else sequence_encoder
+    has_prompt = _placeholder if has_prompt is None else has_prompt
+
+    common = dict(src_lang=src_lang, trg_lang=trg_lang, split=split,
+                  has_prompt=has_prompt, tokenizer=tokenizer,
+                  sequence_encoder=sequence_encoder, task=task)
+
+    if dataset_type == "plain":
+        if not Path(path).with_suffix(f"{Path(path).suffix}.{trg_lang}").is_file():
+            has_trg = False
+        dataset = PlaintextDataset(path=path, has_trg=has_trg,
+                                   random_subset=random_subset, **common, **kwargs)
+    elif dataset_type == "tsv":
+        dataset = TsvDataset(path=path, has_trg=has_trg,
+                             random_subset=random_subset, **common, **kwargs)
+    elif dataset_type == "speech":
+        assert task == "S2T", task
+        common.update(src_lang="src", trg_lang="trg")
+        dataset = SpeechDataset(path=path, has_trg=has_trg,
+                                random_subset=random_subset, **common, **kwargs)
+    elif dataset_type == "stream":
+        assert task == "MT", task
+        assert split == "test", split
+        dataset = StreamDataset(path=path, has_trg=False, random_subset=-1,
+                                **common, **kwargs)
+    elif dataset_type == "speech_stream":
+        assert task == "S2T", task
+        assert split == "test", split
+        common.update(src_lang="src", trg_lang="trg")
+        dataset = SpeechStreamDataset(path=None, has_trg=False, random_subset=-1,
+                                      **common, **kwargs)
+    elif dataset_type == "huggingface":
+        if "split" not in kwargs:
+            kwargs["split"] = "validation" if split == "dev" else split
+        common.pop("split")
+        dataset = HuggingfaceTranslationDataset(path=path, has_trg=has_trg,
+                                                random_subset=random_subset,
+                                                **common, **kwargs)
+    else:
+        raise ConfigurationError(f"{dataset_type}: Unknown dataset type.")
+    return dataset

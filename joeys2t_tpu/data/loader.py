@@ -1,0 +1,137 @@
+# coding: utf-8
+"""
+load_data: wire tokenizers, vocabularies, datasets together
+(counterpart of joeynmt/data.py:17-208).
+"""
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+from joeys2t_tpu.data.audio_io import pad_features
+from joeys2t_tpu.data.datasets import BaseDataset, build_dataset
+from joeys2t_tpu.tokenizers import build_tokenizer
+from joeys2t_tpu.utils.logging import get_logger
+from joeys2t_tpu.vocabulary import Vocabulary, build_vocab
+
+logger = get_logger(__name__)
+
+
+def load_data(cfg: Dict, datasets: list = None, task: str = "MT") \
+        -> Tuple[Optional[Vocabulary], Vocabulary, Optional[BaseDataset],
+                 Optional[BaseDataset], Optional[BaseDataset]]:
+    """Load train/dev/test data per the `data` config section."""
+    assert datasets is not None and len(datasets) > 0, datasets
+
+    src_cfg = cfg["src"]
+    trg_cfg = cfg["trg"]
+
+    src_lang = src_cfg["lang"] if task == "MT" else "src"
+    trg_lang = trg_cfg["lang"] if task == "MT" else "trg"
+    train_path = cfg.get("train", None)
+    dev_path = cfg.get("dev", None)
+    test_path = cfg.get("test", None)
+
+    if train_path is None and dev_path is None and test_path is None:
+        raise ValueError("Please specify at least one data source path.")
+
+    logger.info("Building tokenizer...")
+    tokenizer = build_tokenizer(cfg, task)
+
+    dataset_type = cfg.get("dataset_type", "plain")
+    if task == "S2T":
+        assert dataset_type == "speech"
+    dataset_cfg = cfg.get("dataset_cfg", {})
+
+    has_prompt = {
+        src_lang: src_cfg.get("has_prompt", False),
+        trg_lang: trg_cfg.get("has_prompt", False),
+    }
+
+    train_data = None
+    if "train" in datasets and train_path is not None:
+        train_subset = cfg.get("sample_train_subset", -1)
+        if "random_train_subset" in cfg:
+            logger.warning("`random_train_subset` option is obsolete. "
+                           "Please use `sample_train_subset` instead.")
+            train_subset = cfg.get("random_train_subset", train_subset)
+        logger.info("Loading train set...")
+        train_data = build_dataset(
+            dataset_type=dataset_type, path=train_path, src_lang=src_lang,
+            trg_lang=trg_lang, split="train", tokenizer=tokenizer,
+            has_prompt=has_prompt, random_subset=train_subset, task=task,
+            **dataset_cfg)
+
+    logger.info("Building vocabulary...")
+    src_vocab, trg_vocab = build_vocab(cfg, task=task, dataset=train_data)
+
+    if task == "MT":
+        tokenizer[src_lang].set_vocab(src_vocab)
+        tokenizer[trg_lang].set_vocab(trg_vocab)
+    elif task == "S2T":
+        tokenizer["trg"].set_vocab(trg_vocab)
+
+    if task == "MT":
+        sequence_encoder = {
+            src_lang: partial(src_vocab.sentences_to_ids, bos=False, eos=True),
+            trg_lang: trg_vocab.sentences_to_ids,
+        }
+    elif task == "S2T":
+        sequence_encoder = {
+            "src": partial(pad_features, embed_size=tokenizer["src"].num_freq),
+            "trg": trg_vocab.sentences_to_ids,
+        }
+
+    if train_data is not None:
+        train_data.sequence_encoder = sequence_encoder
+
+    dev_data = None
+    if "dev" in datasets and dev_path is not None:
+        dev_subset = cfg.get("sample_dev_subset", -1)
+        if "random_dev_subset" in cfg:
+            logger.warning("`random_dev_subset` option is obsolete. "
+                           "Please use `sample_dev_subset` instead.")
+            dev_subset = cfg.get("random_dev_subset", dev_subset)
+        logger.info("Loading dev set...")
+        dev_data = build_dataset(
+            dataset_type=dataset_type, path=dev_path, src_lang=src_lang,
+            trg_lang=trg_lang, split="dev", tokenizer=tokenizer,
+            sequence_encoder=sequence_encoder, has_prompt=has_prompt,
+            random_subset=dev_subset, task=task, **dataset_cfg)
+
+    test_data = None
+    if "test" in datasets and test_path is not None:
+        logger.info("Loading test set...")
+        test_data = build_dataset(
+            dataset_type=dataset_type, path=test_path, src_lang=src_lang,
+            trg_lang=trg_lang, split="test", tokenizer=tokenizer,
+            sequence_encoder=sequence_encoder, has_prompt=has_prompt,
+            random_subset=-1, task=task, **dataset_cfg)
+
+    if "stream" in datasets:
+        test_data = build_dataset(
+            dataset_type="stream" if task == "MT" else "speech_stream",
+            path=None, src_lang=src_lang, trg_lang=trg_lang, split="test",
+            tokenizer=tokenizer, sequence_encoder=sequence_encoder,
+            has_prompt=has_prompt, random_subset=-1, task=task, **dataset_cfg)
+
+    logger.info("Data loaded.")
+    logger.info("Train dataset: %s", train_data)
+    logger.info("Valid dataset: %s", dev_data)
+    logger.info(" Test dataset: %s", test_data)
+
+    if train_data:
+        if task == "MT":
+            src = "\n\t[SRC] " + " ".join(
+                train_data.get_item(idx=0, lang=train_data.src_lang, is_train=False))
+        else:
+            src = ""
+        trg = "\n\t[TRG] " + " ".join(
+            train_data.get_item(idx=0, lang=train_data.trg_lang, is_train=False))
+        logger.info("First training example:%s%s", src, trg)
+
+    if src_vocab is not None:
+        logger.info("First 10 Src tokens: %s", src_vocab.log_vocab(10))
+        logger.info("Number of unique Src tokens (vocab_size): %d", len(src_vocab))
+    logger.info("First 10 Trg tokens: %s", trg_vocab.log_vocab(10))
+    logger.info("Number of unique Trg tokens (vocab_size): %d", len(trg_vocab))
+
+    return src_vocab, trg_vocab, train_data, dev_data, test_data

@@ -166,6 +166,20 @@ def adjust_mask_size(mask: Optional[np.ndarray], batch_size: int,
     return mask
 
 
+def save_hypothese(output_path: Path, hypotheses: List[str], n_best: int = 1) -> None:
+    """Save hypotheses to file; n-best goes to per-rank files
+    (joeynmt/helpers.py:136-151)."""
+    output_path = Path(output_path)
+    if n_best > 1:
+        for n in range(n_best):
+            write_list_to_file(
+                output_path.parent / f"{output_path.stem}-{n}.{output_path.suffix}",
+                [hypotheses[i] for i in range(n, len(hypotheses), n_best)],
+            )
+    else:
+        write_list_to_file(output_path, hypotheses)
+
+
 def pad_2d(arr: np.ndarray, length: int, pad_value: Union[int, float], axis: int = 1) -> np.ndarray:
     """Pad array along `axis` up to `length` with `pad_value`."""
     if arr.shape[axis] >= length:

@@ -105,4 +105,6 @@ def ctc_loss_sum(log_probs, targets, input_lengths, target_lengths,
     losses = ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id=blank_id)
     if zero_infinity:
         losses = jnp.where(losses > INFEASIBLE, 0.0, losses)
+    # padding rows (target_length 0, from static-shape batch padding) are free
+    losses = jnp.where(target_lengths == 0, 0.0, losses)
     return jnp.sum(losses)

@@ -1,0 +1,85 @@
+# coding: utf-8
+"""
+Device mesh + sharding (TPU-native replacement for the reference's
+DP/DDP/NCCL plumbing, joeynmt/helpers_for_ddp.py:17-174).
+
+The comm layer is a `jax.sharding.Mesh` with a data axis (and room for a
+model axis for tensor parallelism). Replaces:
+  - ddp_setup/mp.spawn      -> jax.distributed.initialize (multi-host)
+  - DDP gradient all-reduce -> XLA inserts psum from sharding propagation
+  - ddp_merge (all_gather)  -> fully-replicated outputs / process_allgather
+  - ddp_reduce (all_reduce) -> replicated scalars out of the jitted step
+Batches are sharded along axis 0 over the `data` axis; parameters are
+replicated (dp) or sharded over `model` (tp-ready).
+"""
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class MeshContext:
+    """Holds the mesh + canonical shardings used by train/eval steps."""
+
+    mesh: Mesh
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.size
+
+    @property
+    def data_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("data"))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_array(self, x: np.ndarray):
+        """Place a host array on the mesh, sharded along dim 0."""
+        return jax.device_put(x, self.data_sharding)
+
+    def replicate_tree(self, tree):
+        return jax.device_put(tree, self.replicated)
+
+
+def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> MeshContext:
+    """Build a (data, model) mesh over the available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    dp = n // model_parallel
+    dev_array = np.asarray(devices).reshape(dp, model_parallel)
+    mesh = Mesh(dev_array, axis_names=("data", "model"))
+    logger.info("Device mesh: data=%d, model=%d (%s)", dp, model_parallel,
+                devices[0].platform)
+    return MeshContext(mesh=mesh)
+
+
+def replicate(tree, ctx: MeshContext):
+    return ctx.replicate_tree(tree)
+
+
+def shard_batch_arrays(arrays: Dict[str, Optional[np.ndarray]],
+                       ctx: MeshContext) -> Dict[str, Optional[jax.Array]]:
+    """device_put a dict of batch arrays with dim-0 data sharding. The batch
+    dim must already be padded to a multiple of the dp size
+    (Batch.pad_to_shape)."""
+    out = {}
+    dp = ctx.mesh.shape["data"]
+    for k, v in arrays.items():
+        if v is None:
+            out[k] = None
+        else:
+            assert v.shape[0] % dp == 0, (k, v.shape, dp)
+            out[k] = jax.device_put(v, ctx.data_sharding)
+    return out

@@ -1,0 +1,607 @@
+# coding: utf-8
+"""
+Training manager (counterpart of joeynmt/training.py).
+
+The hot path is a jit-compiled train step (forward + backward + optax update)
+over statically-shaped, mesh-sharded batches; gradient accumulation keeps an
+on-device gradient buffer across micro-batches (the reference relies on torch
+autograd accumulation, joeynmt/training.py:436-459). LR scheduling, early
+stopping, model selection, checkpoint best-K retention, validations.txt
+reporting and example logging mirror the reference.
+"""
+import math
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from joeys2t_tpu.checkpoints import CheckpointManager, load_checkpoint, partial_load
+from joeys2t_tpu.config import (
+    BaseConfig,
+    TestConfig,
+    TrainConfig,
+    log_config,
+    parse_global_args,
+    set_validation_args,
+)
+from joeys2t_tpu.data.batch import Batch, round_up_to_bucket
+from joeys2t_tpu.helpers import write_list_to_file
+from joeys2t_tpu.optim import (
+    build_gradient_clipper,
+    build_optimizer,
+    build_scheduler,
+    get_learning_rate,
+    set_learning_rate,
+)
+from joeys2t_tpu.parallel import MeshContext, get_mesh
+from joeys2t_tpu.prediction import predict, prepare, test
+from joeys2t_tpu.plotting import store_attention_plots
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _batch_to_arrays(batch: Batch) -> Dict[str, Optional[np.ndarray]]:
+    return {
+        "src": batch.src,
+        "trg_input": batch.trg_input,
+        "trg": batch.trg,
+        "src_length": batch.src_length,
+        "src_mask": batch.src_mask,
+        "trg_mask": batch.trg_mask,
+        "trg_length": batch.trg_length,
+        "src_prompt_mask": batch.src_prompt_mask,
+        "trg_prompt_mask": batch.trg_prompt_mask,
+    }
+
+
+class TrainManager:
+    """Manages training loop, validations, LR scheduling, early stopping
+    (joeynmt/training.py:47-826)."""
+
+    # pylint: disable=too-many-instance-attributes
+
+    def __init__(
+        self,
+        model,
+        spec,
+        params,
+        loss_fn,
+        model_dir: Path,
+        task: str,
+        seed: int = 42,
+        train_args: TrainConfig = None,
+        dev_args: TestConfig = None,
+        num_workers: int = 0,
+        mesh: Optional[MeshContext] = None,
+    ) -> None:
+        self.model = model
+        self.spec = spec
+        self.loss_fn = loss_fn
+        self.task = task
+        self.args = train_args
+        self.dev_cfg = dev_args
+        self.seed = seed
+        self.model_dir = Path(model_dir)
+        self.num_workers = num_workers
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+        # tensorboard (optional dependency)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb_writer = SummaryWriter(
+                log_dir=(self.model_dir / "tensorboard").as_posix())
+        except Exception:  # pragma: no cover
+            self.tb_writer = None
+
+        # optimization: clip -> optimizer chain; lr injected as state
+        clipper = build_gradient_clipper(self.args.__dict__)
+        base_tx = build_optimizer(self.args.__dict__)
+        self.tx = optax.chain(clipper, base_tx) if clipper is not None else base_tx
+        self._clipped = clipper is not None
+
+        self.params = self.mesh.replicate_tree(params)
+        self.opt_state = self.tx.init(self.params)
+
+        self.scheduler, self.scheduler_step_at = build_scheduler(
+            cfg=self.args.__dict__,
+            scheduler_mode="min" if self.args.minimize_metric else "max",
+            hidden_size=getattr(self.model.encoder, "hidden_size", 0))
+
+        self.ckpt_mgr = CheckpointManager(
+            self.model_dir, keep_best_ckpts=self.args.keep_best_ckpts,
+            minimize_metric=self.args.minimize_metric)
+
+        self.train_iter, self.train_iter_state = None, None
+        self.batch_sampler = None
+        self.stats = TrainStatistics(minimize_metric=self.args.minimize_metric)
+
+        self._dropout_rng = jax.random.PRNGKey(seed + 7919)
+
+        # jitted steps
+        self._jit_train_step = self._make_train_step()
+        self._jit_accum_step = self._make_accum_step()
+        self._jit_apply_accum = self._make_apply_accum()
+        self._zero_grads = None
+
+        if self.args.load_model is not None:
+            self.init_from_checkpoint(
+                self.args.load_model,
+                reset_best_ckpt=self.args.reset_best_ckpt,
+                reset_scheduler=self.args.reset_scheduler,
+                reset_optimizer=self.args.reset_optimizer,
+                reset_iter_state=self.args.reset_iter_state)
+        for layer_name, load_path in [("encoder", self.args.load_encoder),
+                                      ("decoder", self.args.load_decoder)]:
+            if load_path is not None:
+                self.init_layers(path=load_path, layer=layer_name)
+
+    # -------------------------------------------------------------- jit steps
+    def _loss_and_metrics(self, params, batch, dropout_rng, normalizer):
+        model, loss_fn = self.model, self.loss_fn
+        logits, ctc_logits, out_mask = model.apply(
+            {"params": params}, batch["src"], batch["trg_input"],
+            batch["src_length"], batch["src_mask"], batch["trg_mask"],
+            src_prompt_mask=batch["src_prompt_mask"],
+            trg_prompt_mask=batch["trg_prompt_mask"],
+            deterministic=False, rngs={"dropout": dropout_rng})
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        kwargs = dict(trg=batch["trg"])
+        if loss_fn.require_ctc_layer and ctc_logits is not None:
+            kwargs.update(trg_length=batch["trg_length"], src_mask=out_mask,
+                          ctc_log_probs=jax.nn.log_softmax(
+                              ctc_logits.astype(jnp.float32), axis=-1))
+        losses = loss_fn(log_probs, **kwargs)
+        total = losses[0]
+        nll = losses[1] if len(losses) > 1 else total
+        ctc = losses[2] if len(losses) > 2 else jnp.zeros(())
+        trg_mask_2d = batch["trg_mask"][:, 0, :]
+        n_correct = jnp.sum(
+            jnp.where(trg_mask_2d, jnp.argmax(log_probs, -1) == batch["trg"], False))
+        # normalize (joeynmt/batch.py:135-175); accumulation divide folded in
+        norm = total / normalizer / self.args.batch_multiplier
+        metrics = (norm, nll / normalizer / self.args.batch_multiplier,
+                   ctc / normalizer / self.args.batch_multiplier, n_correct)
+        return norm, metrics
+
+    def _make_train_step(self):
+        @jax.jit
+        def train_step(params, opt_state, dropout_rng, batch, normalizer):
+            (_, metrics), grads = jax.value_and_grad(
+                self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
+                                                      normalizer)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return train_step
+
+    def _make_accum_step(self):
+        @jax.jit
+        def accum_step(params, accum, dropout_rng, batch, normalizer):
+            (_, metrics), grads = jax.value_and_grad(
+                self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
+                                                      normalizer)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, metrics
+
+        return accum_step
+
+    def _make_apply_accum(self):
+        @jax.jit
+        def apply_accum(params, opt_state, accum):
+            updates, opt_state = self.tx.update(accum, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state
+
+        return apply_accum
+
+    # ----------------------------------------------------------- ckpt wiring
+    def _state_for_ckpt(self) -> Dict:
+        return {
+            "model_state": self.params,
+            "optimizer_state": jax.tree.map(np.asarray, self.opt_state),
+            "scaler_state": None,  # kept for checkpoint-layout parity
+            "scheduler_state": (self.scheduler.state_dict()
+                                if self.scheduler is not None else None),
+            "train_iter_state": (self.batch_sampler.get_state()
+                                 if self.batch_sampler is not None else None),
+            "stats_state": self.stats.state_dict(),
+        }
+
+    def _save_checkpoint(self, new_best: bool, score: float) -> None:
+        self.ckpt_mgr.save(self.stats.steps, self._state_for_ckpt(), new_best, score)
+
+    def init_from_checkpoint(self, path, reset_best_ckpt=False, reset_scheduler=False,
+                             reset_optimizer=False, reset_iter_state=False) -> None:
+        """joeynmt/training.py:220-292."""
+        logger.info("Loading model from %s", path)
+        ckpt = load_checkpoint(path)
+        self.params = self.mesh.replicate_tree(ckpt["model_state"])
+
+        if not reset_optimizer and ckpt.get("optimizer_state") is not None:
+            self.opt_state = ckpt["optimizer_state"]
+        else:
+            self.opt_state = self.tx.init(self.params)
+            if reset_optimizer:
+                logger.info("Reset optimizer.")
+
+        if not reset_scheduler:
+            if ckpt.get("scheduler_state") is not None and self.scheduler is not None:
+                self.scheduler.load_state_dict(ckpt["scheduler_state"])
+        else:
+            logger.info("Reset scheduler.")
+
+        if not reset_best_ckpt:
+            if "stats_state" in ckpt:
+                self.stats.load_state_dict(ckpt["stats_state"])
+        else:
+            logger.info("Reset tracking of the best checkpoint.")
+
+        if not reset_iter_state:
+            self.train_iter_state = ckpt.get("train_iter_state")
+        else:
+            logger.info("Reset data iterator (random seed: {%d}).", self.seed)
+
+    def init_layers(self, path: Path, layer: str) -> None:
+        """Partial encoder/decoder init for ST transfer
+        (joeynmt/training.py:294-309)."""
+        assert path is not None
+        logger.info("Loading %s layers from %s", layer, path)
+        ckpt = load_checkpoint(path)
+        self.params = self.mesh.replicate_tree(
+            partial_load(dict(self.params), ckpt["model_state"], layer))
+
+    # -------------------------------------------------------------- main loop
+    def train_and_validate(self, train_data, valid_data) -> None:
+        """joeynmt/training.py:311-539."""
+        # pylint: disable=too-many-branches,too-many-statements
+        self.train_iter, self.batch_sampler = train_data.make_iter(
+            batch_size=self.args.batch_size,
+            batch_type=self.args.batch_type,
+            seed=self.seed,
+            shuffle=self.args.shuffle,
+            num_workers=self.num_workers,
+            eos_index=self.spec.eos_index,
+            pad_index=self.spec.pad_index,
+            return_sampler=True,
+        )
+        if self.train_iter_state is not None:
+            self.batch_sampler.set_state(self.train_iter_state)
+
+        logger.info(
+            "Train config:\n\tdevices: %d\n\tgradient accumulation: %d\n"
+            "\tbatch size per device: %d\n\teffective batch size: %d",
+            self.mesh.n_devices, self.args.batch_multiplier,
+            self.args.batch_size // max(self.mesh.n_devices, 1),
+            self.args.batch_size * self.args.batch_multiplier)
+
+        # initial lr
+        if self.scheduler is not None and self.scheduler_step_at == "step":
+            set_learning_rate(self._inner_opt_state(), self.scheduler.step(0))
+
+        epoch_no = self.stats.epochs
+        try:
+            for epoch_no in range(self.stats.epochs, self.args.epochs + 1, 1):
+                logger.info("EPOCH %d", epoch_no)
+                self.stats.epochs = epoch_no
+
+                if self.scheduler_step_at == "epoch":
+                    rate = self.scheduler.step(epoch_no)
+                    set_learning_rate(self._inner_opt_state(), rate)
+
+                train_data.seed = self.seed + epoch_no
+                valid_data.seed = self.seed + epoch_no
+                self.batch_sampler.set_seed(self.seed + epoch_no)
+
+                start_tokens = self.stats.total_tokens
+                start_correct = self.stats.total_correct
+                epoch_nseqs, epoch_ntokens, epoch_loss = 0, 0, 0.0
+                total_valid_duration = 0.0
+                total_batch_loss = 0.0
+                start = time.time()
+
+                accum = None
+                micro = 0
+                for batch in self.train_iter:
+                    nseqs_real, ntokens_real, arrays, normalizer = \
+                        self._prepare_batch(batch)
+                    self._dropout_rng, step_rng = jax.random.split(self._dropout_rng)
+
+                    if self.args.batch_multiplier == 1:
+                        self.params, self.opt_state, metrics = self._jit_train_step(
+                            self.params, self.opt_state, step_rng, arrays,
+                            normalizer)
+                        stepped = True
+                    else:
+                        if accum is None:
+                            accum = jax.tree.map(jnp.zeros_like, self.params)
+                        accum, metrics = self._jit_accum_step(
+                            self.params, accum, step_rng, arrays, normalizer)
+                        micro += 1
+                        stepped = micro >= self.args.batch_multiplier
+                        if stepped:
+                            self.params, self.opt_state = self._jit_apply_accum(
+                                self.params, self.opt_state, accum)
+                            accum = None
+                            micro = 0
+
+                    norm_loss, nll, ctc, n_correct = metrics
+                    total_batch_loss += float(norm_loss)
+                    epoch_nseqs += nseqs_real
+                    epoch_ntokens += ntokens_real
+                    self.stats.total_tokens += ntokens_real
+                    self.stats.total_correct += int(n_correct)
+
+                    if stepped:
+                        self.stats.steps += 1
+                        if self.scheduler_step_at == "step":
+                            rate = self.scheduler.step(self.stats.steps)
+                            set_learning_rate(self._inner_opt_state(), rate)
+
+                        if self.stats.steps >= self.args.max_updates:
+                            self.stats.is_max_update = True
+
+                        if self.stats.steps % self.args.logging_freq == 0:
+                            elapsed = time.time() - start - total_valid_duration
+                            self._log_scores(epoch_no, elapsed, start_tokens,
+                                             start_correct, total_batch_loss)
+                            start = time.time()
+                            start_tokens = self.stats.total_tokens
+                            start_correct = self.stats.total_correct
+                            total_valid_duration = 0
+
+                        epoch_loss += total_batch_loss
+                        total_batch_loss = 0.0
+
+                        if self.stats.steps % self.args.validation_freq == 0:
+                            valid_start_time = time.time()
+                            valid_data.seed = self.seed + self.stats.steps
+                            self._validate(valid_data)
+                            total_valid_duration += time.time() - valid_start_time
+
+                    if self.stats.is_min_lr or self.stats.is_max_update:
+                        break
+
+                if self.stats.is_min_lr or self.stats.is_max_update:
+                    log_str = (f"minimum lr {self.args.learning_rate_min}"
+                               if self.stats.is_min_lr else
+                               f"maximum num. of updates {self.args.max_updates}")
+                    logger.info("Training ended since %s was reached.", log_str)
+                    break
+
+                logger.info(
+                    "Epoch %3d, total training loss: %.2f, num. of seqs: %d, "
+                    "num. of tokens: %d, %.4f[sec]", epoch_no, epoch_loss,
+                    epoch_nseqs, epoch_ntokens,
+                    time.time() - start - total_valid_duration)
+            else:
+                logger.info("Training ended after %3d epochs.", epoch_no)
+
+        except KeyboardInterrupt:
+            logger.info("Interrupt at epoch %d, step %d.", epoch_no, self.stats.steps)
+
+        else:
+            logger.info("Best validation result (greedy) at step %8d: %6.2f %s.",
+                        self.stats.best_ckpt_iter, self.stats.best_ckpt_score,
+                        self.args.early_stopping_metric)
+        finally:
+            self._save_checkpoint(False, float("nan"))
+            if self.tb_writer is not None:
+                self.tb_writer.close()
+
+    def _prepare_batch(self, batch: Batch):
+        """Pad to static shapes, device_put with data sharding, compute the
+        loss normalizer from the real counts."""
+        nseqs_real, ntokens_real = batch.nseqs, batch.ntokens
+        dp = self.mesh.mesh.shape["data"]
+        target_b = max(self.args.batch_size, nseqs_real)
+        target_b = int(np.ceil(target_b / dp) * dp)
+        padded = batch.pad_to_shape(batch_size=target_b)
+        arrays = _batch_to_arrays(padded)
+        from joeys2t_tpu.parallel import shard_batch_arrays
+
+        arrays = shard_batch_arrays(arrays, self.mesh)
+        if self.args.normalization == "batch":
+            normalizer = float(nseqs_real)
+        elif self.args.normalization == "tokens":
+            normalizer = float(ntokens_real)
+        else:
+            normalizer = 1.0
+        return nseqs_real, ntokens_real, arrays, jnp.float32(normalizer)
+
+    def _inner_opt_state(self):
+        """The InjectHyperparamsState (possibly nested under the clip chain)."""
+        state = self.opt_state
+        if hasattr(state, "hyperparams"):
+            return state
+        for s in state:  # chain states are a tuple
+            if hasattr(s, "hyperparams"):
+                return s
+        raise RuntimeError("Could not locate InjectHyperparamsState")
+
+    @property
+    def current_lr(self) -> float:
+        return get_learning_rate(self._inner_opt_state())
+
+    # ------------------------------------------------------------- validation
+    def _validate(self, valid_data):
+        """joeynmt/training.py:598-686."""
+        prediction = predict(
+            params=self.params, model=self.model, spec=self.spec, data=valid_data,
+            loss_fn=self.loss_fn, compute_loss=True,
+            normalization=self.args.normalization, args=self.dev_cfg)
+
+        (valid_scores, valid_references, valid_hypotheses, valid_hypotheses_raw,
+         _, valid_attention_scores) = prediction
+
+        if self.tb_writer is not None:
+            for eval_metric, score in valid_scores.items():
+                if not math.isnan(score):
+                    self.tb_writer.add_scalar(f"valid/{eval_metric}", score,
+                                              self.stats.steps)
+
+        ckpt_score = valid_scores[self.args.early_stopping_metric]
+
+        if self.scheduler_step_at == "validation":
+            rate = self.scheduler.step_metric(ckpt_score)
+            set_learning_rate(self._inner_opt_state(), rate)
+
+        new_best = self.stats.is_best(ckpt_score)
+        if new_best:
+            self.stats.best_ckpt_score = ckpt_score
+            self.stats.best_ckpt_iter = self.stats.steps
+            logger.info("Hooray! New best validation result [%s]!",
+                        self.args.early_stopping_metric)
+
+        is_better = (self.stats.is_better(ckpt_score, self.ckpt_mgr.ckpt_queue)
+                     if len(self.ckpt_mgr.ckpt_queue) > 0 else True)
+        if self.args.keep_best_ckpts < 0 or is_better:
+            self._save_checkpoint(new_best, ckpt_score)
+
+        self._add_report(valid_scores=valid_scores, new_best=new_best)
+        self._log_examples(references=valid_references, hypotheses=valid_hypotheses,
+                           hypotheses_raw=valid_hypotheses_raw, data=valid_data)
+        write_list_to_file(self.model_dir / f"{self.stats.steps}.hyps",
+                           valid_hypotheses)
+
+        if valid_attention_scores:
+            store_attention_plots(
+                attentions=valid_attention_scores, targets=valid_hypotheses_raw,
+                sources=valid_data.get_list(lang=valid_data.src_lang, tokenized=True,
+                                            subsampled=True),
+                indices=self.args.print_valid_sents,
+                output_prefix=(self.model_dir / f"att.{self.stats.steps}").as_posix(),
+                tb_writer=self.tb_writer, steps=self.stats.steps)
+
+    def _add_report(self, valid_scores: dict, new_best: bool = False) -> None:
+        """validations.txt report (joeynmt/training.py:687-702)."""
+        current_lr = self.current_lr
+        valid_file = self.model_dir / "validations.txt"
+        with valid_file.open("a", encoding="utf-8") as opened_file:
+            score_str = "\t".join([f"Steps: {self.stats.steps}"] + [
+                f"{eval_metric}: {score:.5f}"
+                for eval_metric, score in valid_scores.items()
+                if not math.isnan(score)
+            ] + [f"LR: {current_lr:.8f}", "*" if new_best else ""])
+            opened_file.write(f"{score_str}\n")
+
+    def _log_examples(self, hypotheses, references, hypotheses_raw, data) -> None:
+        """joeynmt/training.py:704-738."""
+        for p in self.args.print_valid_sents:
+            if p >= len(hypotheses):
+                continue
+            logger.info("Example #%d", p)
+            detokenized_src = (
+                data.tokenizer[data.src_lang].post_process(data.src[p])
+                if self.task == "MT" else data.src[p])
+            logger.info("\tSource:     %s", detokenized_src)
+            logger.info("\tReference:  %s", references[p])
+            logger.info("\tHypothesis: %s", hypotheses[p])
+
+    def _log_scores(self, epoch_no, elapsed_time, start_tokens, start_correct,
+                    total_batch_loss) -> None:
+        """joeynmt/training.py:740-766."""
+        elapsed_tok = self.stats.total_tokens - start_tokens
+        elapsed_correct = self.stats.total_correct - start_correct
+        steps = self.stats.steps
+        if self.tb_writer is not None:
+            self.tb_writer.add_scalar("train/batch_loss", total_batch_loss, steps)
+            if elapsed_tok > 0:
+                self.tb_writer.add_scalar("train/batch_acc",
+                                          elapsed_correct / elapsed_tok, steps)
+        current_lr = self.current_lr
+        if current_lr < self.args.learning_rate_min:
+            self.stats.is_min_lr = True
+        if self.tb_writer is not None:
+            self.tb_writer.add_scalar("train/learning_rate", current_lr, steps)
+        logger.info(
+            "Epoch %3d, Step: %8d, Batch Loss: %12.6f, Batch Acc: %.6f, "
+            "Tokens per Sec: %8.0f, Lr: %.6f", epoch_no, steps, total_batch_loss,
+            elapsed_correct / max(elapsed_tok, 1), elapsed_tok / max(elapsed_time, 1e-9),
+            current_lr)
+
+
+class TrainStatistics:
+    """joeynmt/training.py:768-826."""
+
+    def __init__(self, minimize_metric: bool = True) -> None:
+        self.epochs = 1
+        self.steps = 0
+        self.is_min_lr = False
+        self.is_max_update = False
+        self.total_tokens = 0
+        self.best_ckpt_iter = 0
+        self.minimize_metric = minimize_metric
+        self.best_ckpt_score = float("inf") if minimize_metric else float("-inf")
+        self.total_correct = 0
+
+    def is_best(self, score) -> bool:
+        if self.minimize_metric:
+            return score < self.best_ckpt_score
+        return score > self.best_ckpt_score
+
+    def is_better(self, score: float, heap_queue: list) -> bool:
+        import heapq
+
+        assert len(heap_queue) > 0
+        if self.minimize_metric:
+            return score < heapq.nlargest(1, heap_queue)[0][0]
+        return score > heapq.nsmallest(1, heap_queue)[0][0]
+
+    def state_dict(self) -> Dict:
+        return {
+            "epochs": self.epochs,
+            "steps": self.steps,
+            "total_tokens": self.total_tokens,
+            "total_correct": self.total_correct,
+            "best_ckpt_score": self.best_ckpt_score,
+            "best_ckpt_iter": self.best_ckpt_iter,
+        }
+
+    def load_state_dict(self, state_dict: Dict) -> None:
+        self.epochs = state_dict["epochs"]
+        self.steps = state_dict["steps"]
+        self.total_tokens = state_dict["total_tokens"]
+        self.total_correct = state_dict["total_correct"]
+        self.best_ckpt_score = state_dict["best_ckpt_score"]
+        self.best_ckpt_iter = state_dict["best_ckpt_iter"]
+
+
+def train(cfg: Dict, skip_test: bool = False) -> None:
+    """Main training entry (joeynmt/training.py:829-895). Multi-host setups
+    initialize jax.distributed before calling this."""
+    log_config(cfg)
+    args = parse_global_args(cfg, rank=0, mode="train")
+
+    model, spec, params, loss_fn, train_data, dev_data, test_data = prepare(
+        args, rank=0, mode="train")
+    dev_args = set_validation_args(args.test)
+
+    trainer = TrainManager(
+        model=model, spec=spec, params=params, loss_fn=loss_fn,
+        model_dir=args.model_dir, task=args.task, seed=args.seed,
+        train_args=args.train, dev_args=dev_args, num_workers=args.num_workers)
+
+    trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
+
+    if not skip_test:
+        ckpt = args.model_dir / "best.ckpt"
+        if not ckpt.exists():
+            ckpt = args.model_dir / "latest.ckpt"
+        model_checkpoint = load_checkpoint(ckpt)
+        params = model_checkpoint["model_state"]
+        prepared = {
+            "model": model, "spec": spec, "params": params, "loss_fn": loss_fn,
+            "dev": dev_data, "test": test_data,
+        }
+        test(cfg=cfg, output_path=(args.model_dir / f"{Path(ckpt).stem}.hyps").as_posix(),
+             prepared=prepared)
+    else:
+        logger.info("Skipping test after training.")

@@ -1,0 +1,72 @@
+# coding: utf-8
+"""Metric tests (mirroring test/unit/test_metric.py) incl. the C++ edit
+distance extension."""
+import numpy as np
+
+from joeys2t_tpu.metrics import bleu, chrf, sequence_accuracy, token_accuracy, wer
+from joeys2t_tpu.native import edit_distance, edit_distance_batch
+from joeys2t_tpu.tokenizers import EvaluationTokenizer
+
+
+class TestEditDistance:
+    def test_known_values(self):
+        assert edit_distance("kitten", "sitting") == 3
+        assert edit_distance([], [1, 2]) == 2
+        assert edit_distance([1, 2, 3], [1, 2, 3]) == 0
+        assert edit_distance(["a", "b"], ["b", "a"]) == 2
+        assert edit_distance("abc", "") == 3
+
+    def test_batch_matches_single(self):
+        rng = np.random.RandomState(0)
+        pairs = []
+        for _ in range(20):
+            a = rng.randint(0, 5, size=rng.randint(0, 12)).tolist()
+            b = rng.randint(0, 5, size=rng.randint(0, 12)).tolist()
+            pairs.append((a, b))
+        batch = edit_distance_batch(pairs)
+        single = [edit_distance(a, b) for a, b in pairs]
+        assert batch == single
+
+    def test_cpp_backend_active(self):
+        """The g++ toolchain is present in CI; the extension must build."""
+        from joeys2t_tpu import native
+
+        native._build_and_load()
+        assert native._LIB is not None, "C++ editdistance failed to build"
+
+
+class TestWER:
+    def test_corpus_wer(self):
+        """Corpus WER = sum(edit)/sum(ref len) (joeynmt/metrics.py:128-131)."""
+        tok = EvaluationTokenizer(lowercase=True, tokenize="13a", no_punc=True)
+        hyps = ["hello world", "good morning"]
+        refs = ["hello, World!", "good night"]
+        # hyp1 == ref1 after lowercase+no_punc (0 errors / 2 ref tokens)
+        # hyp2: 1 substitution / 2 ref tokens
+        assert wer(hyps, refs, tok) == 25.0
+
+    def test_perfect_wer(self):
+        tok = EvaluationTokenizer(lowercase=True, tokenize="13a", no_punc=True)
+        assert wer(["a b c"], ["A B C."], tok) == 0.0
+
+
+class TestBleuChrf:
+    def test_bleu_perfect(self):
+        score = bleu(["the cat sat on the mat"], ["the cat sat on the mat"])
+        assert abs(score - 100.0) < 1e-6
+
+    def test_bleu_zero(self):
+        assert bleu(["xyz abc def ghi"], ["the cat sat on a mat"]) < 5.0
+
+    def test_chrf_range(self):
+        score = chrf(["the cat"], ["the cat"])
+        assert 0.99 <= score <= 1.0  # normalized to [0,1]
+
+
+class TestAccuracy:
+    def test_token_accuracy(self):
+        tok = str.split
+        assert token_accuracy(["a b c"], ["a x c"], tok) == (2 / 3) * 100
+
+    def test_sequence_accuracy(self):
+        assert sequence_accuracy(["a", "b"], ["a", "c"]) == 50.0

@@ -1,0 +1,196 @@
+# coding: utf-8
+"""Search tests (mirroring test/unit/test_search.py's coverage areas):
+greedy/beam consistency, min/max output length, forbidden tokens, n-best
+ordering, forced prefix decoding, repetition controls."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from joeys2t_tpu.config import SpecialSymbols
+from joeys2t_tpu.data.batch import Batch
+from joeys2t_tpu.models import build_model
+from joeys2t_tpu.search import beam_search, greedy, search, transformer_greedy
+from joeys2t_tpu.vocabulary import Vocabulary
+
+VOCAB_SIZE = 26
+B, S = 2, 7
+
+
+@pytest.fixture(scope="module")
+def mt_model():
+    vocab = Vocabulary([f"t{i}" for i in range(VOCAB_SIZE - 4)], SpecialSymbols())
+    cfg = {
+        "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "embeddings": {"embedding_dim": 16, "scale": True},
+                    "layer_norm": "pre"},
+        "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "embeddings": {"embedding_dim": 16, "scale": True},
+                    "layer_norm": "pre"},
+    }
+    model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+    src = jnp.ones((B, S), jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(11)}, src, jnp.ones((B, 3), jnp.int32),
+        jnp.full((B,), S, jnp.int32), jnp.ones((B, 1, S), bool),
+        jnp.ones((B, 1, 3), bool))["params"]
+    return model, spec, params
+
+
+def encode(mt_model):
+    model, spec, params = mt_model
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randint(4, VOCAB_SIZE, size=(B, S)), jnp.int32)
+    src_mask = jnp.ones((B, 1, S), bool)
+    enc, _, _ = model.apply({"params": params}, src,
+                            jnp.full((B,), S, jnp.int32), src_mask, method="encode")
+    return src, enc, src_mask
+
+
+class TestGreedy:
+    def test_output_shape_and_eos(self, mt_model):
+        model, spec, params = mt_model
+        src, enc, src_mask = encode(mt_model)
+        out, scores, att = greedy(params, model, spec, enc, None, src_mask, 16,
+                                  return_prob="hyp", return_attention=True)
+        assert out.shape == (B, 16)
+        assert att.shape == (B, 16, S)
+        # after the first eos, only pad follows
+        for row in out:
+            eos_pos = np.where(row == spec.eos_index)[0]
+            if len(eos_pos):
+                assert (row[eos_pos[0] + 1:] == spec.pad_index).all()
+
+    def test_never_generates_forbidden(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16)
+        assert not np.isin(out, [spec.bos_index]).any()
+
+    def test_min_output_length(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16,
+                           min_output_length=5)
+        for row in out:
+            eos_pos = np.where(row == spec.eos_index)[0]
+            if len(eos_pos):
+                assert eos_pos[0] >= 4  # eos at position >= min_output_length-1
+
+    def test_no_unk_generation(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16,
+                           generate_unk=False)
+        assert not np.isin(out, [spec.unk_index]).any()
+
+    def test_forced_prefix(self, mt_model):
+        """Prompted decoding: forced tokens appear verbatim
+        (joeynmt/search.py:228-317)."""
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        # force first 3 generated tokens to 7, 8, 9 (prompt incl. BOS at pos 0)
+        decoder_prompt = np.array([[2, 7, 8, 9], [2, 10, 11, 12]], np.int32)
+        trg_prompt_mask = np.ones_like(decoder_prompt)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16,
+                           decoder_prompt=decoder_prompt,
+                           trg_prompt_mask=trg_prompt_mask)
+        np.testing.assert_array_equal(out[:, :3], decoder_prompt[:, 1:])
+
+    def test_repetition_penalty_runs(self, mt_model):
+        model, spec, params = mt_model
+        src, enc, src_mask = encode(mt_model)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16,
+                           repetition_penalty=2.0, encoder_input=np.asarray(src))
+        assert out.shape == (B, 16)
+
+    def test_ngram_blocker_blocks(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, _, _ = greedy(params, model, spec, enc, None, src_mask, 32,
+                           no_repeat_ngram_size=2)
+        # no repeated bigram of non-special tokens within generated prefix
+        for row in out:
+            toks = [t for t in row.tolist()]
+            eos_pos = toks.index(spec.eos_index) if spec.eos_index in toks else len(toks)
+            toks = toks[:eos_pos]
+            bigrams = [tuple(toks[i:i + 2]) for i in range(len(toks) - 1)]
+            non_special = [bg for bg in bigrams
+                           if bg[1] not in spec.specials + spec.lang_tags]
+            assert len(non_special) == len(set(non_special)), (row, non_special)
+
+
+class TestBeam:
+    def test_beam1_matches_greedy(self, mt_model):
+        """k=1, alpha<=0 beam == greedy tokens (test_search.py invariant)."""
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        g_out, _, _ = greedy(params, model, spec, enc, None, src_mask, 16)
+        b_out, _, _ = beam_search(params, model, spec, enc, None, src_mask,
+                                  1, 16, alpha=-1, n_best=1)
+        for i in range(B):
+            g_row = g_out[i]
+            # greedy (like the reference transformer_greedy) does not ban pad,
+            # beam does — compare up to the first pad/eos only
+            stop = np.where((g_row == spec.eos_index) | (g_row == spec.pad_index))[0]
+            g_trim = g_row[:stop[0] + 1] if len(stop) else g_row
+            if len(g_trim) and g_trim[-1] == spec.pad_index:
+                g_trim = g_trim[:-1]
+            b_trim = b_out[i][:len(g_trim)]
+            np.testing.assert_array_equal(g_trim, b_trim)
+
+    def test_nbest_scores_descending(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, scores, _ = beam_search(params, model, spec, enc, None, src_mask,
+                                     4, 16, alpha=1.0, n_best=3,
+                                     return_prob="hyp")
+        assert out.shape[0] == B * 3
+        scores = scores.reshape(B, 3)
+        for i in range(B):
+            row = scores[i]
+            valid = row[row > -1e8]
+            assert (np.diff(valid) <= 1e-6).all(), row
+
+    def test_beam_forced_prefix(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        decoder_prompt = np.array([[2, 7, 8], [2, 10, 11]], np.int32)
+        trg_prompt_mask = np.ones_like(decoder_prompt)
+        out, _, _ = beam_search(params, model, spec, enc, None, src_mask,
+                                3, 16, alpha=1.0, n_best=1,
+                                decoder_prompt=decoder_prompt,
+                                trg_prompt_mask=trg_prompt_mask)
+        np.testing.assert_array_equal(out[:, :2], decoder_prompt[:, 1:])
+
+    def test_all_hyps_end_with_eos_or_maxlen(self, mt_model):
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        out, _, _ = beam_search(params, model, spec, enc, None, src_mask,
+                                4, 12, alpha=1.0, n_best=2)
+        for row in out:
+            toks = row[row != spec.pad_index]
+            n_eos = (toks == spec.eos_index).sum()
+            assert n_eos <= 1
+            if n_eos == 1:
+                assert toks[-1] == spec.eos_index
+
+
+class TestSearchEntry:
+    def test_search_with_batch(self, mt_model):
+        model, spec, params = mt_model
+        rng = np.random.RandomState(1)
+        trg = np.concatenate([np.full((B, 1), 2),
+                              rng.randint(4, VOCAB_SIZE, size=(B, 4)),
+                              np.full((B, 1), 3)], axis=1)
+        batch = Batch(src=rng.randint(4, VOCAB_SIZE, size=(B, S)).astype(np.int32),
+                      src_length=np.full((B,), S, np.int32), src_prompt_mask=None,
+                      trg=trg, trg_length=np.full((B,), 6), trg_prompt_mask=None,
+                      indices=np.arange(B), pad_index=1, eos_index=3,
+                      is_train=False, task="MT")
+        out, scores, att = search(params, model, spec, batch,
+                                  max_output_length=-1, beam_size=1, beam_alpha=-1)
+        # adaptive max length: 1.5 * src_len, bucketed
+        assert out.shape[1] <= 16

@@ -1,0 +1,97 @@
+# coding: utf-8
+"""End-to-end training slice on the synthetic reverse task (the PR1 reference
+scenario from SURVEY.md §7 step 2): train -> validate -> checkpoint -> test,
+then resume from checkpoint."""
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+from generate_reverse_task import generate_samples  # noqa: E402
+
+from joeys2t_tpu.checkpoints import load_checkpoint  # noqa: E402
+from joeys2t_tpu.helpers import make_model_dir  # noqa: E402
+from joeys2t_tpu.training import train  # noqa: E402
+
+REPO = Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module")
+def reverse_env():
+    tmp = Path(tempfile.mkdtemp())
+    data_dir = tmp / "data"
+    data_dir.mkdir()
+    for split, n, seed in [("train", 300, 1), ("dev", 24, 2), ("test", 24, 3)]:
+        src, trg = generate_samples(n, high=10, min_len=3, max_len=8, seed=seed)
+        (data_dir / f"{split}.src").write_text("\n".join(src) + "\n")
+        (data_dir / f"{split}.trg").write_text("\n".join(trg) + "\n")
+
+    cfg = yaml.safe_load(open(REPO / "configs/transformer_reverse.yaml"))
+    cfg["model_dir"] = (tmp / "model").as_posix()
+    cfg["data"].update(
+        train=(data_dir / "train").as_posix(), dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "test").as_posix(), sample_train_subset=-1,
+        sample_dev_subset=-1)
+    cfg["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+                           batch_size=32, batch_multiplier=1, keep_best_ckpts=2)
+    cfg["testing"].update(load_model=None)
+    for side in ("encoder", "decoder"):
+        cfg["model"][side].update(num_layers=2, hidden_size=32, ff_size=64)
+        cfg["model"][side]["embeddings"]["embedding_dim"] = 32
+    return tmp, cfg
+
+
+def test_train_validate_test(reverse_env):
+    tmp, cfg = reverse_env
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=False)
+    model_dir = Path(cfg["model_dir"])
+
+    # artifacts (joeynmt/training.py:149-218 checkpoint semantics)
+    assert (model_dir / "latest.ckpt").is_symlink()
+    assert (model_dir / "best.ckpt").is_symlink()
+    assert (model_dir / "validations.txt").is_file()
+    assert (model_dir / "src_vocab.txt").is_file()
+    assert (model_dir / "trg_vocab.txt").is_file()
+    assert (model_dir / "best.hyps.dev").is_file()
+    assert (model_dir / "best.hyps.test").is_file()
+    # keep_best_ckpts=2 + final save
+    ckpts = [p for p in model_dir.glob("*.ckpt") if not p.is_symlink()]
+    assert len(ckpts) <= 3
+
+    # validations.txt rows carry bleu + LR
+    lines = (model_dir / "validations.txt").read_text().strip().split("\n")
+    assert len(lines) >= 1
+    assert "bleu" in lines[0] and "LR:" in lines[0]
+
+    # checkpoint contents (same logical layout as joeynmt/training.py:166-177)
+    ckpt = load_checkpoint(model_dir / "latest.ckpt")
+    for key in ["model_state", "optimizer_state", "scheduler_state",
+                "train_iter_state", "stats_state"]:
+        assert key in ckpt, key
+    assert ckpt["stats_state"]["steps"] > 0
+
+
+def test_resume_from_checkpoint(reverse_env):
+    tmp, cfg = reverse_env
+    model_dir = Path(cfg["model_dir"])
+    assert (model_dir / "latest.ckpt").exists(), "run test_train_validate_test first"
+
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["model_dir"] = (tmp / "model_resumed").as_posix()
+    cfg2["training"]["load_model"] = (model_dir / "latest.ckpt").resolve().as_posix()
+    cfg2["training"]["epochs"] = 1
+    make_model_dir(Path(cfg2["model_dir"]))
+
+    prev_steps = load_checkpoint(model_dir / "latest.ckpt")["stats_state"]["steps"]
+    train(cfg2, skip_test=True)
+    resumed = load_checkpoint(Path(cfg2["model_dir"]) / "latest.ckpt")
+    # stats were restored and training continued; with epochs=1 already done,
+    # the step counter must not go backwards
+    assert resumed["stats_state"]["steps"] >= prev_steps
