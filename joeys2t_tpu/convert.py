@@ -1,0 +1,153 @@
+# coding: utf-8
+"""
+Convert reference (joeynmt/joeys2t torch) checkpoints into flax param trees.
+
+Lets users load the published hub models (hubconf.py:110-290: librispeech
+960h/100h ASR, MuST-C ASR/MT/ST, IWSLT/WMT MT) into this framework. Name
+mapping (torch module path -> flax tree path):
+
+  {src,trg}_embed.lut.weight            -> {src,trg}_embed/lut/embedding
+  encoder.layers.N.*                    -> encoder/layer_N/*
+  *.{k,v,q,output}_layer.weight         -> */kernel (transposed)
+  *.feed_forward.pwff_layer.{0,3}       -> */feed_forward/dense{1,2}
+  *.layer_norm.{weight,bias}            -> */layer_norm/{scale,bias}
+  encoder.subsampler.conv_layers.N      -> encoder/subsampler/conv_N
+                                           (conv weight (out,in,k)->(k,in,out))
+  decoder.{output,ctc_output}_layer     -> decoder/{output,ctc_output}_layer
+
+Recurrent (GRU/LSTM) and conformer (BatchNorm) checkpoints are not supported
+for conversion (the conformer's BatchNorm has no LayerNorm equivalent here).
+"""
+from typing import Dict
+
+import numpy as np
+
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _set(tree: Dict, path, value) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
+    """Convert a joeynmt model_state dict (name -> tensor/ndarray) into the
+    flax param tree of the equivalent Seq2SeqModel."""
+    tree: Dict = {}
+    for name, tensor in state_dict.items():
+        value = np.asarray(getattr(tensor, "numpy", lambda: tensor)())
+        parts = name.split(".")
+        if "rnn" in parts or "pointwise_conv1" in parts or "batch_norm" in parts:
+            raise NotImplementedError(
+                f"Cannot convert parameter {name}: recurrent/conformer "
+                "checkpoints are not supported.")
+
+        if parts[0] in ("src_embed", "trg_embed") and parts[1] == "lut":
+            _set(tree, (parts[0], "lut", "embedding"), value)
+            continue
+
+        assert parts[0] in ("encoder", "decoder"), name
+        path = [parts[0]]
+        i = 1
+        while i < len(parts):
+            p = parts[i]
+            if p == "layers":
+                path.append(f"layer_{parts[i + 1]}")
+                i += 2
+                continue
+            if p == "pwff_layer":
+                idx = parts[i + 1]
+                path.append({"0": "dense1", "3": "dense2"}[idx])
+                i += 2
+                continue
+            if p == "conv_layers":
+                path.append(f"conv_{parts[i + 1]}")
+                i += 2
+                continue
+            if p in ("weight", "bias"):
+                is_norm = path[-1].endswith("layer_norm") or path[-1] == "norm"
+                if p == "weight":
+                    if is_norm:
+                        path.append("scale")
+                    elif value.ndim == 2:  # Linear: (out, in) -> (in, out)
+                        value = value.T
+                        path.append("kernel")
+                    elif value.ndim == 3:  # Conv1d: (out, in, k) -> (k, in, out)
+                        value = np.transpose(value, (2, 1, 0))
+                        path.append("kernel")
+                    else:
+                        path.append("kernel")
+                else:
+                    path.append("bias")
+                i += 1
+                continue
+            path.append(p)
+            i += 1
+        _set(tree, tuple(path), value)
+    return tree
+
+
+def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse mapping (for interoperability checks and exporting)."""
+    out = {}
+
+    def walk(node, path):
+        for key, value in node.items():
+            if isinstance(value, dict):
+                walk(value, path + [key])
+            else:
+                out["|".join(path + [key])] = np.asarray(value)
+
+    walk(params, [])
+
+    converted = {}
+    for flat_name, value in out.items():
+        parts = flat_name.split("|")
+        name_parts = []
+        for p in parts[:-1]:
+            if p.startswith("layer_") and p[6:].isdigit():
+                name_parts.extend(["layers", p[6:]])
+            elif p == "dense1":
+                name_parts.extend(["pwff_layer", "0"])
+            elif p == "dense2":
+                name_parts.extend(["pwff_layer", "3"])
+            elif p.startswith("conv_") and p[5:].isdigit():
+                name_parts.extend(["conv_layers", p[5:]])
+            else:
+                name_parts.append(p)
+        leaf = parts[-1]
+        if leaf == "embedding":
+            name_parts.append("weight")
+        elif leaf == "scale":
+            name_parts.append("weight")
+        elif leaf == "kernel":
+            if value.ndim == 2:
+                value = value.T
+            elif value.ndim == 3:
+                value = np.transpose(value, (2, 1, 0))
+            name_parts.append("weight")
+        else:
+            name_parts.append(leaf)
+        converted[".".join(name_parts)] = value
+    return converted
+
+
+def load_torch_checkpoint(path) -> Dict:
+    """Load a torch-format reference checkpoint and convert model params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt["model_state"] if "model_state" in ckpt else ckpt
+    params = torch_state_dict_to_flax(
+        {k: v.cpu().numpy() for k, v in state_dict.items()})
+    return {
+        "model_state": params,
+        "optimizer_state": None,
+        "scheduler_state": None,
+        "train_iter_state": None,
+        "stats_state": ckpt.get("stats_state"),
+    }

@@ -1,0 +1,86 @@
+# coding: utf-8
+"""Hub interface test: train a tiny model, load the snapshot dir via
+load_model_dir, call generate() and score() (joeynmt/hub_interface.py API)."""
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+from generate_reverse_task import generate_samples  # noqa: E402
+
+from joeys2t_tpu.helpers import make_model_dir  # noqa: E402
+from joeys2t_tpu.hub_interface import load_model_dir  # noqa: E402
+from joeys2t_tpu.training import train  # noqa: E402
+
+REPO = Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module")
+def trained_model_dir():
+    tmp = Path(tempfile.mkdtemp())
+    data_dir = tmp / "data"
+    data_dir.mkdir()
+    for split, n, seed in [("train", 200, 1), ("dev", 16, 2), ("test", 16, 3)]:
+        src, trg = generate_samples(n, high=10, min_len=3, max_len=6, seed=seed)
+        (data_dir / f"{split}.src").write_text("\n".join(src) + "\n")
+        (data_dir / f"{split}.trg").write_text("\n".join(trg) + "\n")
+
+    cfg = yaml.safe_load(open(REPO / "configs/transformer_reverse.yaml"))
+    cfg["model_dir"] = (tmp / "model").as_posix()
+    cfg["data"].update(train=(data_dir / "train").as_posix(),
+                       dev=(data_dir / "dev").as_posix(),
+                       test=(data_dir / "test").as_posix(),
+                       sample_train_subset=-1, sample_dev_subset=-1)
+    cfg["training"].update(epochs=1, validation_freq=20, logging_freq=20,
+                           batch_size=32, batch_multiplier=1, keep_best_ckpts=1)
+    cfg["testing"].update(load_model=None)
+    for side in ("encoder", "decoder"):
+        cfg["model"][side].update(num_layers=1, hidden_size=16, ff_size=32)
+        cfg["model"][side]["embeddings"]["embedding_dim"] = 16
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+
+    # snapshot needs the config inside (CLI copies it; do it here manually)
+    cfg["testing"]["load_model"] = "latest.ckpt"
+    import dataclasses
+
+    if dataclasses.is_dataclass(cfg["data"].get("special_symbols")):
+        cfg["data"]["special_symbols"] = dataclasses.asdict(
+            cfg["data"]["special_symbols"])
+    with (Path(cfg["model_dir"]) / "config.yaml").open("w") as f:
+        yaml.safe_dump(cfg, f)
+    return Path(cfg["model_dir"])
+
+
+def test_generate(trained_model_dir):
+    model = load_model_dir(trained_model_dir)
+    out = model.generate(["3 5 7", "1 2"])
+    assert len(out) == 2
+    assert all(isinstance(s, str) and len(s) > 0 for s in out)
+
+
+def test_generate_nbest(trained_model_dir):
+    model = load_model_dir(trained_model_dir)
+    out = model.generate(["3 5 7"], beam_size=3, n_best=2)
+    assert len(out) == 2
+
+
+def test_score_hyp(trained_model_dir):
+    model = load_model_dir(trained_model_dir)
+    preds = model.score(["3 5 7"])
+    assert len(preds) == 1
+    assert preds[0].translation is not None
+    assert preds[0].tokens is not None
+
+
+def test_score_ref(trained_model_dir):
+    """Scoring given references (return_prob='ref' path)."""
+    model = load_model_dir(trained_model_dir)
+    preds = model.score(["3 5 7"], trg=["7 5 3"])
+    assert len(preds) == 1
+    assert preds[0].translation == "7 5 3"
+    assert preds[0].tokens is not None

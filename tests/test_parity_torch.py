@@ -1,0 +1,138 @@
+# coding: utf-8
+"""Cross-framework parity: the reference torch modules (run from the
+read-only mount, with unavailable deps stubbed) vs our flax modules with
+weights mapped through joeys2t_tpu.convert. This validates the entire
+compute path numerically — encoder (incl. conv subsampler + mask
+reconstruction), decoder, CTC head — to float32 round-off."""
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+needs_ref = pytest.mark.skipif(not REF.is_dir(), reason="reference absent")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    for mod in ["sentencepiece", "subword_nmt", "subword_nmt.apply_bpe",
+                "editdistance", "torchaudio", "torchaudio.compliance",
+                "torchaudio.compliance.kaldi", "torchaudio.sox_effects", "tqdm"]:
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    sys.modules["subword_nmt.apply_bpe"].BPE = object
+    sys.modules["subword_nmt.apply_bpe"].create_parser = lambda: None
+    if not hasattr(sys.modules["tqdm"], "tqdm"):
+        sys.modules["tqdm"].tqdm = lambda *a, **k: a[0] if a else None
+    sys.path.insert(0, REF.as_posix())
+    from joeynmt.decoders import TransformerDecoder as TorchDecoder
+    from joeynmt.encoders import TransformerEncoder as TorchEncoder
+
+    return TorchEncoder, TorchDecoder
+
+
+@needs_ref
+def test_s2t_encoder_decoder_parity(ref_modules):
+    TorchEncoder, TorchDecoder = ref_modules
+    import jax.numpy as jnp
+
+    from joeys2t_tpu.convert import torch_state_dict_to_flax
+    from joeys2t_tpu.models.decoders import TransformerDecoder as JaxDecoder
+    from joeys2t_tpu.models.encoders import TransformerEncoder as JaxEncoder
+
+    torch.manual_seed(0)
+    h, ff, nh, nl = 32, 64, 4, 2
+    tenc = TorchEncoder(hidden_size=h, ff_size=ff, num_layers=nl, num_heads=nh,
+                        dropout=0.0, emb_dropout=0.0, layer_norm="pre",
+                        activation="relu", subsample=True, in_channels=16,
+                        conv_channels=32, conv_kernel_sizes=[3, 3], pad_index=1,
+                        alpha=1.0)
+    tdec = TorchDecoder(num_layers=nl, num_heads=nh, hidden_size=h, ff_size=ff,
+                        dropout=0.0, emb_dropout=0.0, vocab_size=20,
+                        layer_norm="pre", activation="relu",
+                        encoder_output_size_for_ctc=h, alpha=1.0)
+    tenc.eval()
+    tdec.eval()
+
+    sd = {}
+    for prefix, mod in [("encoder", tenc), ("decoder", tdec)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    flax_params = torch_state_dict_to_flax(sd)
+
+    jenc = JaxEncoder(hidden_size=h, ff_size=ff, num_layers=nl, num_heads=nh,
+                      dropout=0.0, emb_dropout=0.0, layer_norm_position="pre",
+                      activation="relu", subsample=True, in_channels=16,
+                      conv_channels=32, conv_kernel_sizes=(3, 3), pad_index=1)
+    jdec = JaxDecoder(num_layers=nl, num_heads=nh, hidden_size=h, ff_size=ff,
+                      dropout=0.0, emb_dropout=0.0, vocab_size=20,
+                      layer_norm_position="pre", activation="relu", ctc_layer=True)
+
+    rng = np.random.RandomState(0)
+    b, t = 2, 21
+    src = rng.randn(b, t, 16).astype(np.float32)
+    lengths = np.array([21, 13])
+
+    with torch.no_grad():
+        t_out, _, t_mask = tenc(torch.tensor(src), torch.tensor(lengths), None)
+    j_out, _, j_mask = jenc.apply({"params": flax_params["encoder"]},
+                                  jnp.asarray(src), jnp.asarray(lengths), None)
+    np.testing.assert_array_equal(t_mask.numpy(), np.asarray(j_mask))
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(j_out), atol=5e-6)
+
+    t_trg = 6
+    trg_embed = rng.randn(b, t_trg, h).astype(np.float32)
+    with torch.no_grad():
+        t_logits, _, _, _, t_ctc = tdec(
+            torch.tensor(trg_embed), t_out, None, t_mask, None, None,
+            torch.ones(b, 1, t_trg, dtype=torch.bool))
+    j_logits, _, _, _, j_ctc = jdec.apply(
+        {"params": flax_params["decoder"]}, jnp.asarray(trg_embed), j_out,
+        j_mask, jnp.ones((b, 1, t_trg), bool))
+    np.testing.assert_allclose(t_logits.numpy(), np.asarray(j_logits), atol=5e-6)
+    np.testing.assert_allclose(t_ctc.numpy(), np.asarray(j_ctc), atol=5e-6)
+
+
+@needs_ref
+def test_convert_roundtrip(ref_modules):
+    """flax -> torch-naming -> flax must be the identity."""
+    import jax
+
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.convert import flax_to_torch_state_dict, torch_state_dict_to_flax
+    from joeys2t_tpu.models import build_model
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    import jax.numpy as jnp
+
+    vocab = Vocabulary([f"t{i}" for i in range(16)], SpecialSymbols())
+    cfg = {
+        "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "subsample": True, "in_channels": 8, "conv_channels": 16,
+                    "conv_kernel_sizes": [3, 3],
+                    "embeddings": {"embedding_dim": 8}, "layer_norm": "pre"},
+        "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "embeddings": {"embedding_dim": 16, "scale": True},
+                    "layer_norm": "pre"},
+    }
+    model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 16, 8)),
+        jnp.ones((1, 4), jnp.int32), jnp.full((1,), 16, jnp.int32), None,
+        jnp.ones((1, 1, 4), bool))["params"]
+
+    roundtrip = torch_state_dict_to_flax(flax_to_torch_state_dict(params))
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(roundtrip)
+    assert len(flat_a) == len(flat_b)
+    b_map = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    for path, value in flat_a:
+        key = jax.tree_util.keystr(path)
+        assert key in b_map, key
+        np.testing.assert_array_equal(np.asarray(value), b_map[key])
