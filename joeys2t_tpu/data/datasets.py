@@ -699,7 +699,9 @@ def build_dataset(dataset_type: str, path: str, src_lang: str, trg_lang: str,
         dataset = SpeechStreamDataset(path=None, has_trg=False, random_subset=-1,
                                       **common, **kwargs)
     elif dataset_type == "huggingface":
-        if "split" not in kwargs:
+        if "hf_split" in kwargs:
+            kwargs["split"] = kwargs.pop("hf_split")
+        elif "split" not in kwargs:
             kwargs["split"] = "validation" if split == "dev" else split
         common.pop("split")
         dataset = HuggingfaceTranslationDataset(path=path, has_trg=has_trg,

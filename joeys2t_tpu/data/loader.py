@@ -39,7 +39,12 @@ def load_data(cfg: Dict, datasets: list = None, task: str = "MT") \
     dataset_type = cfg.get("dataset_type", "plain")
     if task == "S2T":
         assert dataset_type == "speech"
-    dataset_cfg = cfg.get("dataset_cfg", {})
+    dataset_cfg = dict(cfg.get("dataset_cfg", {}))
+    # huggingface datasets carry their own split name; avoid clashing with the
+    # positional split argument
+    hf_split = dataset_cfg.pop("split", None)
+    if dataset_type == "huggingface" and hf_split is not None:
+        dataset_cfg["hf_split"] = hf_split
 
     has_prompt = {
         src_lang: src_cfg.get("has_prompt", False),
@@ -112,6 +117,11 @@ def load_data(cfg: Dict, datasets: list = None, task: str = "MT") \
             path=None, src_lang=src_lang, trg_lang=trg_lang, split="test",
             tokenizer=tokenizer, sequence_encoder=sequence_encoder,
             has_prompt=has_prompt, random_subset=-1, task=task, **dataset_cfg)
+
+    # attach the trg vocab so predict() can decode ids without re-loading
+    for d in (train_data, dev_data, test_data):
+        if d is not None:
+            d._trg_vocab = trg_vocab
 
     logger.info("Data loaded.")
     logger.info("Train dataset: %s", train_data)

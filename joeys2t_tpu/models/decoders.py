@@ -42,6 +42,7 @@ class TransformerDecoder(nn.Module):
     # tied softmax: caller passes the embedding table to project with
     tied_softmax: bool = False
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @property
     def output_size(self) -> int:
@@ -53,7 +54,8 @@ class TransformerDecoder(nn.Module):
                 size=self.hidden_size, ff_size=self.ff_size, num_heads=self.num_heads,
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
-                activation=self.activation, dtype=self.dtype, name=f"layer_{i}")
+                activation=self.activation, dtype=self.dtype,
+                attn_impl=self.attn_impl, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.emb_dropout_layer = nn.Dropout(rate=self.emb_dropout)

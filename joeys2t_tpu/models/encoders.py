@@ -46,6 +46,7 @@ class TransformerEncoder(nn.Module):
     pad_index: int = 1
     # final layer norm exists iff layer_norm == "pre" (joeynmt/encoders.py:223-226)
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @property
     def output_size(self) -> int:
@@ -57,7 +58,8 @@ class TransformerEncoder(nn.Module):
                 size=self.hidden_size, ff_size=self.ff_size, num_heads=self.num_heads,
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
-                activation=self.activation, dtype=self.dtype, name=f"layer_{i}")
+                activation=self.activation, dtype=self.dtype,
+                attn_impl=self.attn_impl, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.emb_dropout_layer = nn.Dropout(rate=self.emb_dropout)
@@ -116,6 +118,7 @@ class ConformerEncoder(nn.Module):
     conv_kernel_sizes: Sequence[int] = (3, 3)
     pad_index: int = 1
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @property
     def output_size(self) -> int:
@@ -128,7 +131,7 @@ class ConformerEncoder(nn.Module):
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
                 depthwise_conv_kernel_size=self.depthwise_conv_kernel_size,
-                dtype=self.dtype, name=f"layer_{i}")
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear")

@@ -233,7 +233,9 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
         if task == "MT":
             assert enc_cfg["embeddings"]["embedding_dim"] == enc_cfg["hidden_size"], (
                 "for transformer, emb_size must be the same as hidden_size.")
+        attn_impl = cfg.get("attention_impl", enc_cfg.get("attention_impl", "auto"))
         common = dict(
+            attn_impl=attn_impl,
             hidden_size=enc_cfg["hidden_size"],
             ff_size=enc_cfg["ff_size"],
             num_layers=enc_cfg["num_layers"],
@@ -302,6 +304,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             alpha=dec_alpha,
             ctc_layer=(task == "S2T"),  # joeynmt/model.py:452-454
             tied_softmax=tied_softmax,
+            attn_impl=cfg.get("attention_impl", dec_cfg.get("attention_impl", "auto")),
             dtype=compute_dtype,
         )
     else:

@@ -70,6 +70,9 @@ class MultiHeadedAttention(nn.Module):
     size: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # 'auto': first-party Pallas flash kernel on TPU for eligible shapes
+    # (deterministic, key-padding mask only); 'xla': einsum path; 'flash': force
+    attn_impl: str = "auto"
 
     def setup(self):
         assert self.size % self.num_heads == 0
@@ -135,9 +138,36 @@ class MultiHeadedAttention(nn.Module):
         """
         k_h, v_h = self.project_kv(k)
         q_h = self._split_heads(self.q_layer(q))
+
+        if self._use_flash(q_h, k_h, mask, deterministic, return_weights):
+            from joeys2t_tpu.ops.flash_attention import mha_flash
+
+            key_valid = None if mask is None else mask[:, 0, :]
+            context = mha_flash(q_h, k_h, v_h, key_valid,
+                                1.0 / math.sqrt(self.head_size))
+            out = self.output_layer(self._merge_heads(context.astype(self.dtype)))
+            return out, None
+
         if mask is not None:
             mask = mask[:, None, :, :]  # add head dim -> (B, 1, 1|Tq, Tk)
         return self._attend(q_h, k_h, v_h, mask, deterministic, return_weights)
+
+    def _use_flash(self, q_h, k_h, mask, deterministic, return_weights) -> bool:
+        if self.attn_impl == "xla" or return_weights:
+            return False
+        if not deterministic and self.dropout > 0:
+            return False  # attention dropout not fused into the kernel (yet)
+        if mask is not None and not (mask.ndim == 3 and mask.shape[1] == 1):
+            return False  # causal/full masks take the einsum path
+        from joeys2t_tpu.ops.flash_attention import supported
+
+        if not supported(q_h.shape[1], k_h.shape[1], self.head_size, self.dtype):
+            return False
+        if self.attn_impl == "flash":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"  # 'auto'
 
     # ------------------------------------------------------------- decode ops
     def step_self(
@@ -225,13 +255,14 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_position: str = "post"
     activation: str = "relu"
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
         self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")
         self.src_src_att = MultiHeadedAttention(
             num_heads=self.num_heads, size=self.size, dropout=self.dropout,
-            dtype=self.dtype, name="src_src_att")
+            dtype=self.dtype, attn_impl=self.attn_impl, name="src_src_att")
         self.feed_forward = PositionwiseFeedForward(
             input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
             alpha=self.alpha, layer_norm_position=self.layer_norm_position,
@@ -262,15 +293,16 @@ class TransformerDecoderLayer(nn.Module):
     layer_norm_position: str = "post"
     activation: str = "relu"
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
         self.trg_trg_att = MultiHeadedAttention(
             num_heads=self.num_heads, size=self.size, dropout=self.dropout,
-            dtype=self.dtype, name="trg_trg_att")
+            dtype=self.dtype, attn_impl=self.attn_impl, name="trg_trg_att")
         self.src_trg_att = MultiHeadedAttention(
             num_heads=self.num_heads, size=self.size, dropout=self.dropout,
-            dtype=self.dtype, name="src_trg_att")
+            dtype=self.dtype, attn_impl=self.attn_impl, name="src_trg_att")
         self.feed_forward = PositionwiseFeedForward(
             input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
             alpha=self.alpha, layer_norm_position=self.layer_norm_position,
@@ -405,6 +437,7 @@ class ConformerEncoderLayer(nn.Module):
     alpha: float = 1.0
     layer_norm_position: str = "pre"
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
@@ -420,7 +453,7 @@ class ConformerEncoderLayer(nn.Module):
                                              name="final_layer_norm")
         self.src_src_att = MultiHeadedAttention(
             num_heads=self.num_heads, size=self.size, dropout=self.dropout,
-            dtype=self.dtype, name="src_src_att")
+            dtype=self.dtype, attn_impl=self.attn_impl, name="src_src_att")
         self.conv_module = ConvolutionModule(
             hidden_size=self.size, channels=self.size,
             depthwise_kernel_size=self.depthwise_conv_kernel_size,

@@ -1,0 +1,244 @@
+# coding: utf-8
+"""
+First-party Pallas TPU flash attention (forward + custom VJP backward).
+
+Replaces the einsum attention's HBM-materialized (B, H, S, S) score tensor
+for long sequences — the encoder self-attention over up-to-1500 post-subsample
+audio frames is the training hot path (SURVEY.md §3.1). The kernel brings the
+full K/V slab for one (batch, head) into VMEM (S*D*2B ≤ ~0.5 MB at S=2048,
+D=128) and blocks over queries, so the S×S score block lives only in VMEM:
+
+  grid (B, H, S/BLOCK_Q):
+    S_blk   = Q_blk K^T * scale + bias      (MXU, f32 accumulate)
+    P_blk   = softmax(S_blk)                 (VPU, f32)
+    O_blk   = P_blk V                        (MXU)
+
+The backward pass recomputes P per block (no S×S residuals in HBM) and
+accumulates dK/dV across the sequential TPU grid into a revisited output
+block; dQ is emitted per query block.
+
+Falls back transparently: `flash_attention` is jit-differentiable and matches
+the einsum reference to ~1e-5 (tests/test_flash_attention.py runs it in
+interpreter mode on CPU).
+"""
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+BLOCK_Q = 128
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # (BQ, D)
+    k = k_ref[0, 0]  # (S, D)
+    v = v_ref[0, 0]
+    bias = bias_ref[0, 0]  # (S,)
+
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (BQ, S)
+    s = s + bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, sm_scale):
+    qi = pl.program_id(2)
+
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bias = bias_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    o = o_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    delta = jnp.sum(do * o, axis=-1)  # (BQ,) rowsum(do * o)
+
+    s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BQ, S)
+
+    dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BQ, S)
+    ds = p * (dp - delta[:, None])  # (BQ, S)
+
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    # accumulate dk/dv across the (sequential) query-block grid dimension
+    # (q is already sm_scale-scaled above, so dk needs no extra factor)
+    dk = jax.lax.dot_general(ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] += dv.astype(dv_ref.dtype)
+
+
+def _pad_q(x, block):
+    s = x.shape[2]
+    pad = (-s) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: jnp.ndarray, sm_scale: float) -> jnp.ndarray:
+    """Attention over full K/V with additive key bias.
+
+    :param q: (B, H, Sq, D)
+    :param k,v: (B, H, Sk, D)
+    :param bias: (B, Sk) float32 additive mask (0 valid / -1e9 masked)
+    :param sm_scale: softmax scale (1/sqrt(D))
+    :return: (B, H, Sq, D) in q's dtype
+    """
+    out, _ = _flash_fwd(q, k, v, bias, sm_scale)
+    return out
+
+
+def _flash_fwd(q, k, v, bias, sm_scale):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    q_p, sq_orig = _pad_q(q, BLOCK_Q)
+    n_q = q_p.shape[2] // BLOCK_Q
+
+    grid = (b, h, n_q)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+        interpret=_interpret(),
+    )(q_p, k, v, bias[:, None, :])
+    out = out[:, :, :sq_orig]
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(sm_scale, res, do):
+    q, k, v, bias = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+
+    # recompute o with the forward kernel (no S×S residuals stored in HBM);
+    # the backward kernel derives delta = rowsum(do * o) per block in-VMEM
+    o = flash_attention(q, k, v, bias, sm_scale)
+
+    q_p, sq_orig = _pad_q(q, BLOCK_Q)
+    do_p, _ = _pad_q(do, BLOCK_Q)
+    o_p, _ = _pad_q(o, BLOCK_Q)
+    n_q = q_p.shape[2] // BLOCK_Q
+    grid = (b, h, n_q)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            # dk/dv blocks are revisited across qi (sequential TPU grid)
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q_p, k, v, bias[:, None, :], do_p, o_p)
+
+    dq = dq[:, :, :sq_orig]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (tests on the CPU mesh)."""
+    return jax.default_backend() not in ("tpu",)
+
+
+def supported(sq: int, sk: int, d: int, dtype) -> bool:
+    """Whether the kernel path applies (alignment + worthwhile size).
+
+    Unaligned sk is padded internally (masked via the bias), so only the head
+    dim and the VMEM K/V slab budget constrain eligibility."""
+    if d % 64 != 0 or d > 256:
+        return False
+    if sk * d * 4 > 4 * 1024 * 1024:  # K/V slab must fit VMEM comfortably
+        return False
+    return dtype in (jnp.float32, jnp.bfloat16)
+
+
+def mha_flash(q_heads: jnp.ndarray, k_heads: jnp.ndarray, v_heads: jnp.ndarray,
+              key_valid: Optional[jnp.ndarray], sm_scale: float) -> jnp.ndarray:
+    """Adapter from the model's (B, T, H, D) layout + bool key mask.
+
+    Pads the key length up to a lane-aligned multiple of 128 (padded keys are
+    masked out through the bias)."""
+    q = jnp.swapaxes(q_heads, 1, 2)
+    k = jnp.swapaxes(k_heads, 1, 2)
+    v = jnp.swapaxes(v_heads, 1, 2)
+    b, _, sk, _ = k.shape
+    if key_valid is None:
+        bias = jnp.zeros((b, sk), jnp.float32)
+    else:
+        bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    pad = (-sk) % 128
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    out = flash_attention(q, k, v, bias, sm_scale)
+    return jnp.swapaxes(out, 1, 2)

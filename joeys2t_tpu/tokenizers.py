@@ -163,7 +163,8 @@ class SentencePieceTokenizer(BasicTokenizer):
             import sentencepiece as sp
             self.spm = sp.SentencePieceProcessor()
             self.spm.load(kwargs["model_file"])
-        except ImportError:
+        except (ImportError, AttributeError):
+            # AttributeError covers a stubbed/broken sentencepiece module
             from joeys2t_tpu.spm import MiniSentencePiece
             self.spm = MiniSentencePiece.from_file(self.model_file)
 

@@ -46,6 +46,28 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def frozen_prefixes(model_cfg: Dict) -> set:
+    """Param-tree prefixes frozen via `freeze: True` in the model config."""
+    frozen = set()
+    if model_cfg.get("encoder", {}).get("freeze", False):
+        frozen.add("encoder")
+    if model_cfg.get("decoder", {}).get("freeze", False):
+        frozen.add("decoder")
+    if model_cfg.get("encoder", {}).get("embeddings", {}).get("freeze", False):
+        frozen.add("src_embed")
+    if model_cfg.get("decoder", {}).get("embeddings", {}).get("freeze", False):
+        frozen.add("trg_embed")
+    return frozen
+
+
+def _freeze_mask(params: Dict, prefixes: set) -> Dict:
+    """Bool pytree: True where the param belongs to a frozen prefix."""
+    return {
+        top: jax.tree.map(lambda _: top in prefixes, sub)
+        for top, sub in params.items()
+    }
+
+
 def _batch_to_arrays(batch: Batch) -> Dict[str, Optional[np.ndarray]]:
     return {
         "src": batch.src,
@@ -79,6 +101,7 @@ class TrainManager:
         dev_args: TestConfig = None,
         num_workers: int = 0,
         mesh: Optional[MeshContext] = None,
+        model_cfg: Optional[Dict] = None,
     ) -> None:
         self.model = model
         self.spec = spec
@@ -107,6 +130,13 @@ class TrainManager:
         self._clipped = clipper is not None
 
         self.params = self.mesh.replicate_tree(params)
+        # `freeze: True` sub-modules get zero updates (the reference's
+        # freeze_params / requires_grad=False, joeynmt/helpers.py)
+        frozen = frozen_prefixes(model_cfg or {})
+        if frozen:
+            mask = _freeze_mask(self.params, frozen)
+            self.tx = optax.chain(self.tx, optax.masked(optax.set_to_zero(), mask))
+            logger.info("Frozen parameter groups: %s", sorted(frozen))
         self.opt_state = self.tx.init(self.params)
 
         self.scheduler, self.scheduler_step_at = build_scheduler(
@@ -286,6 +316,14 @@ class TrainManager:
         if self.scheduler is not None and self.scheduler_step_at == "step":
             set_learning_rate(self._inner_opt_state(), self.scheduler.step(0))
 
+        # optional profiling: JOEYS2T_PROFILE_DIR=/path captures an
+        # xplane/perfetto trace of steps 10..20 (SURVEY.md §5.1 upgrade —
+        # the reference only logs wall-clock tokens/sec)
+        import os
+
+        profile_dir = os.environ.get("JOEYS2T_PROFILE_DIR")
+        profile_window = (10, 20) if profile_dir else None
+
         epoch_no = self.stats.epochs
         try:
             for epoch_no in range(self.stats.epochs, self.args.epochs + 1, 1):
@@ -341,6 +379,14 @@ class TrainManager:
 
                     if stepped:
                         self.stats.steps += 1
+                        if profile_window is not None:
+                            if self.stats.steps == profile_window[0]:
+                                jax.profiler.start_trace(profile_dir)
+                            elif self.stats.steps == profile_window[1]:
+                                jax.profiler.stop_trace()
+                                logger.info("Profiler trace written to %s",
+                                            profile_dir)
+                                profile_window = None
                         if self.scheduler_step_at == "step":
                             rate = self.scheduler.step(self.stats.steps)
                             set_learning_rate(self._inner_opt_state(), rate)
@@ -587,7 +633,8 @@ def train(cfg: Dict, skip_test: bool = False) -> None:
     trainer = TrainManager(
         model=model, spec=spec, params=params, loss_fn=loss_fn,
         model_dir=args.model_dir, task=args.task, seed=args.seed,
-        train_args=args.train, dev_args=dev_args, num_workers=args.num_workers)
+        train_args=args.train, dev_args=dev_args, num_workers=args.num_workers,
+        model_cfg=args.model)
 
     trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
 

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+# coding: utf-8
+"""Detailed performance benchmarks on real TPU hardware: encoder fwd/bwd with
+xla vs flash attention, greedy decode batch sweep, beam latency, train step
+throughput. Prints one JSON line per benchmark."""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def bench_encoder_attention(batch=8, seq=1024, layers=16, hidden=512, heads=4):
+    """Encoder fwd+bwd: xla einsum attention vs first-party flash kernel."""
+    from joeys2t_tpu.models.encoders import TransformerEncoder
+
+    results = {}
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, seq, hidden).astype(np.float32))
+    lengths = jnp.full((batch,), seq, jnp.int32)
+
+    for impl in ["xla", "flash"]:
+        enc = TransformerEncoder(
+            hidden_size=hidden, ff_size=4 * hidden, num_layers=layers,
+            num_heads=heads, dropout=0.0, emb_dropout=0.0,
+            layer_norm_position="pre", dtype=jnp.bfloat16, attn_impl=impl)
+        params = enc.init({"params": jax.random.PRNGKey(0)}, x, lengths, None)["params"]
+
+        @jax.jit
+        def fwd(p, x):
+            out, _, _ = enc.apply({"params": p}, x, lengths, None)
+            return out
+
+        @jax.jit
+        def fwdbwd(p, x):
+            def loss(p):
+                out, _, _ = enc.apply({"params": p}, x, lengths, None)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            return jax.grad(loss)(p)
+
+        t_fwd = timeit(fwd, params, x)
+        t_bwd = timeit(fwdbwd, params, x)
+        results[impl] = {"fwd_ms": round(t_fwd * 1e3, 2),
+                         "fwdbwd_ms": round(t_bwd * 1e3, 2)}
+    print(json.dumps({"bench": "encoder_attention", "batch": batch, "seq": seq,
+                      "layers": layers, **results}))
+    return results
+
+
+def bench_greedy_sweep():
+    from __graft_entry__ import _build
+    from joeys2t_tpu.search import transformer_greedy
+
+    model, spec = _build()
+    n_frames, max_len = 1000, 96
+    rng = np.random.RandomState(0)
+
+    for batch in [8, 32, 64]:
+        src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
+        src_length = jnp.full((batch,), n_frames, jnp.int32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch, 8), jnp.int32),
+            src_length, None, jnp.ones((batch, 1, 8), bool))["params"]
+
+        @jax.jit
+        def encode(p, s, l):
+            return model.apply({"params": p}, s, l, None, method="encode")
+
+        def full(p, s, l):
+            enc, _, msk = encode(p, s, l)
+            out, _, _ = transformer_greedy(p, model, spec, enc, msk, max_len)
+            return out
+
+        t = timeit(full, params, src, src_length, iters=3, warmup=1)
+        print(json.dumps({"bench": "greedy_decode", "batch": batch,
+                          "utt_per_sec": round(batch / t, 2),
+                          "rtfx": round(batch * 10.0 / t, 1)}))
+
+
+def bench_beam_latency(batch=8, beam=5):
+    from __graft_entry__ import _build
+    from joeys2t_tpu.search import beam_search
+
+    model, spec = _build()
+    n_frames, max_len = 1000, 96
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
+    src_length = jnp.full((batch,), n_frames, jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch, 8), jnp.int32),
+        src_length, None, jnp.ones((batch, 1, 8), bool))["params"]
+
+    @jax.jit
+    def encode(p, s, l):
+        return model.apply({"params": p}, s, l, None, method="encode")
+
+    enc, _, msk = encode(params, src, src_length)
+    jax.block_until_ready(enc)
+
+    def run():
+        return beam_search(params, model, spec, enc, None, msk, beam, max_len,
+                           alpha=1.0, n_best=1)
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        start = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - start)
+    p50 = sorted(times)[len(times) // 2]
+    print(json.dumps({"bench": "beam_search", "batch": batch, "beam": beam,
+                      "p50_ms": round(p50 * 1e3, 1),
+                      "p50_ms_per_utt": round(p50 * 1e3 / batch, 1)}))
+
+
+def bench_train_step(batch=16, seq=1000, trg_len=48):
+    from __graft_entry__ import _build
+    import optax
+
+    from joeys2t_tpu.losses import XentCTCLoss
+
+    model, spec = _build()
+    loss_fn = XentCTCLoss(pad_index=1, bos_index=2, smoothing=0.1, ctc_weight=0.3)
+    tx = optax.adamw(1e-3)
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(batch, seq, 80).astype(np.float32))
+    trg_input = jnp.asarray(rng.randint(4, 5000, size=(batch, trg_len)), jnp.int32)
+    trg = jnp.asarray(rng.randint(4, 5000, size=(batch, trg_len)), jnp.int32)
+    src_length = jnp.full((batch,), seq, jnp.int32)
+    trg_length = jnp.full((batch,), trg_len, jnp.int32)
+    trg_mask = jnp.ones((batch, 1, trg_len), bool)
+
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_input,
+                        src_length, None, trg_mask)["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            logits, ctc_logits, out_mask = model.apply(
+                {"params": p}, src, trg_input, src_length, None, trg_mask,
+                deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
+            total, _, _ = loss_fn(lp, trg=trg, trg_length=trg_length,
+                                  src_mask=out_mask, ctc_log_probs=ctc_lp)
+            return total / batch
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    t = timeit(lambda: step(params, opt_state), iters=5, warmup=2)
+    audio_sec = batch * seq / 100.0
+    print(json.dumps({"bench": "train_step", "batch": batch, "frames": seq,
+                      "step_ms": round(t * 1e3, 1),
+                      "audio_sec_per_sec": round(audio_sec / t, 1)}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", nargs="*", default=["attention", "greedy", "beam",
+                                                   "train"])
+    args = ap.parse_args()
+    print(json.dumps({"device": str(jax.devices()[0])}))
+    if "attention" in args.bench:
+        bench_encoder_attention()
+    if "greedy" in args.bench:
+        bench_greedy_sweep()
+    if "beam" in args.bench:
+        bench_beam_latency()
+    if "train" in args.bench:
+        bench_train_step()

@@ -1,0 +1,101 @@
+# coding: utf-8
+"""Flash attention kernel vs einsum reference: forward and gradients
+(interpreter mode on the CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from joeys2t_tpu.ops.flash_attention import flash_attention, mha_flash, supported
+
+
+def einsum_attention(q, k, v, bias, sm_scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@pytest.fixture
+def qkv():
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    valid = np.ones((b, s), bool)
+    valid[1, 200:] = False  # padding on example 2
+    bias = jnp.asarray(np.where(valid, 0.0, -1e9).astype(np.float32))
+    return q, k, v, bias
+
+
+class TestForward:
+    def test_matches_einsum(self, qkv):
+        q, k, v, bias = qkv
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        ref = einsum_attention(q, k, v, bias, sm)
+        out = flash_attention(q, k, v, bias, sm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_unaligned_q_length(self, qkv):
+        """Query length not a multiple of BLOCK_Q gets padded internally."""
+        q, k, v, bias = qkv
+        q = q[:, :, :200]
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        ref = einsum_attention(q, k, v, bias, sm)
+        out = flash_attention(q, k, v, bias, sm)
+        assert out.shape == (2, 2, 200, 64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_mha_adapter_layout(self, qkv):
+        q, k, v, bias = qkv
+        valid = bias > -1.0
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        out = mha_flash(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                        jnp.swapaxes(v, 1, 2), valid, sm)
+        ref = einsum_attention(q, k, v, bias, sm)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.swapaxes(ref, 1, 2)),
+                                   atol=2e-5, rtol=2e-5)
+
+
+class TestBackward:
+    def test_grads_match_einsum(self, qkv):
+        q, k, v, bias = qkv
+        sm = 1.0 / np.sqrt(q.shape[-1])
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, sm) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(einsum_attention(q, k, v, bias, sm) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=5e-4, rtol=5e-4, err_msg=name)
+
+    def test_grad_masked_keys_zero(self, qkv):
+        """Gradients of fully-masked key positions must be zero."""
+        q, k, v, bias = qkv
+        sm = 1.0 / np.sqrt(q.shape[-1])
+
+        def loss(k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, sm) ** 2)
+
+        dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+        np.testing.assert_allclose(np.asarray(dk[1, :, 200:]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dv[1, :, 200:]), 0.0, atol=1e-5)
+
+
+class TestSupported:
+    def test_constraints(self):
+        assert supported(256, 256, 64, jnp.float32)
+        assert supported(1500, 1536, 128, jnp.bfloat16)
+        assert supported(256, 250, 64, jnp.float32)  # unaligned sk padded inside
+        assert not supported(256, 256, 80, jnp.float32)  # odd head dim
+        assert not supported(256, 256, 512, jnp.float32)  # head too large

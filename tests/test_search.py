@@ -194,3 +194,40 @@ class TestSearchEntry:
                                   max_output_length=-1, beam_size=1, beam_alpha=-1)
         # adaptive max length: 1.5 * src_len, bucketed
         assert out.shape[1] <= 16
+
+
+class TestRecurrentGreedy:
+    def test_rnn_greedy_shapes(self):
+        """Recurrent greedy decode (joeynmt/search.py:64-159 equivalent)."""
+        from joeys2t_tpu.config import SpecialSymbols
+        from joeys2t_tpu.models import build_model
+        from joeys2t_tpu.vocabulary import Vocabulary
+
+        vocab = Vocabulary([f"t{i}" for i in range(16)], SpecialSymbols())
+        cfg = {"encoder": {"type": "recurrent", "rnn_type": "gru",
+                           "hidden_size": 12, "num_layers": 1,
+                           "bidirectional": True,
+                           "embeddings": {"embedding_dim": 8}},
+               "decoder": {"type": "recurrent", "rnn_type": "gru",
+                           "hidden_size": 12, "num_layers": 1,
+                           "attention": "bahdanau", "init_hidden": "bridge",
+                           "embeddings": {"embedding_dim": 8}}}
+        model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+        b, s = 2, 6
+        src = jnp.asarray(np.random.RandomState(0).randint(4, 16, size=(b, s)),
+                          jnp.int32)
+        src_mask = jnp.ones((b, 1, s), bool)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, src, jnp.ones((b, 3), jnp.int32),
+            jnp.full((b,), s, jnp.int32), src_mask,
+            jnp.ones((b, 1, 3), bool))["params"]
+        enc, hidden, msk = model.apply(
+            {"params": params}, src, jnp.full((b,), s, jnp.int32), src_mask,
+            method="encode")
+        out, scores, att = greedy(params, model, spec, enc, hidden, msk, 10,
+                                  return_prob="hyp")
+        assert out.shape == (b, 10)
+        assert scores.shape == (b, 10)
+        assert att.shape == (b, 10, s)
+        # pad/bos/lang tags never generated by the rnn path
+        assert not np.isin(out, [spec.pad_index, spec.bos_index]).any()
