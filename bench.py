@@ -40,7 +40,7 @@ def main():
     src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
     src_length = jnp.full((batch_size,), n_frames, jnp.int32)
 
-    params = model.init(
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch_size, 8), jnp.int32),
         src_length, None, jnp.ones((batch_size, 1, 8), bool),
         deterministic=True)["params"]

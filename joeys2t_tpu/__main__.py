@@ -42,6 +42,16 @@ def main():
 
     cfg = load_config(Path(args.config_path))
 
+    # multi-host: initialize the JAX distributed runtime when a coordinator is
+    # configured (replaces the reference's mp.spawn + NCCL rendezvous,
+    # joeynmt/__main__.py:72-86 / helpers_for_ddp.py:17-38)
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
     if args.mode == "train":
         model_dir = make_model_dir_and_copy_config(cfg, Path(args.config_path))
         logger = get_logger()

@@ -143,8 +143,15 @@ class MultiHeadedAttention(nn.Module):
             from joeys2t_tpu.ops.flash_attention import mha_flash
 
             key_valid = None if mask is None else mask[:, 0, :]
+            dropout_rate, seed = 0.0, None
+            if not deterministic and self.dropout > 0:
+                # in-kernel attention dropout; seed drawn from the flax rng
+                dropout_rate = self.dropout
+                key = self.make_rng("dropout")
+                seed = jax.random.key_data(key).ravel()[0].astype(jnp.int32)
             context = mha_flash(q_h, k_h, v_h, key_valid,
-                                1.0 / math.sqrt(self.head_size))
+                                1.0 / math.sqrt(self.head_size),
+                                dropout_rate=dropout_rate, seed=seed)
             out = self.output_layer(self._merge_heads(context.astype(self.dtype)))
             return out, None
 
@@ -155,8 +162,6 @@ class MultiHeadedAttention(nn.Module):
     def _use_flash(self, q_h, k_h, mask, deterministic, return_weights) -> bool:
         if self.attn_impl == "xla" or return_weights:
             return False
-        if not deterministic and self.dropout > 0:
-            return False  # attention dropout not fused into the kernel (yet)
         if mask is not None and not (mask.ndim == 3 and mask.shape[1] == 1):
             return False  # causal/full masks take the einsum path
         from joeys2t_tpu.ops.flash_attention import supported

@@ -34,7 +34,22 @@ NEG_INF = -1e9
 BLOCK_Q = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
+def _program_seed(seed_ref):
+    """Distinct PRNG stream per grid program (same scheme fwd + bwd)."""
+    flat = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) \
+        * pl.num_programs(2) + pl.program_id(2)
+    return seed_ref[0, 0] + flat
+
+
+def _dropout_mask(shape, rate: float):
+    """Keep mask from the per-core PRNG; caller must have seeded it."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
+                dropout_rate):
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # (BQ, D)
     k = k_ref[0, 0]  # (S, D)
     v = v_ref[0, 0]
@@ -48,12 +63,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / l
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(_program_seed(seed_ref))
+        keep = _dropout_mask(p.shape, dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
-                dq_ref, dk_ref, dv_ref, *, sm_scale):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, sm_scale, dropout_rate):
     qi = pl.program_id(2)
 
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
@@ -62,7 +81,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     bias = bias_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)  # (BQ, D)
     o = o_ref[0, 0].astype(jnp.float32)  # (BQ, D)
-    delta = jnp.sum(do * o, axis=-1)  # (BQ,) rowsum(do * o)
+    delta = jnp.sum(do * o, axis=-1)  # (BQ,) rowsum(do * o_dropped)
 
     s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -73,7 +92,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
 
     dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (BQ, S)
-    ds = p * (dp - delta[:, None])  # (BQ, S)
+    if dropout_rate > 0.0:
+        # regenerate the forward pass's dropout mask (same per-program seed)
+        pltpu.prng_seed(_program_seed(seed_ref))
+        keep = _dropout_mask(p.shape, dropout_rate)
+        dp_eff = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+        p_dropped = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        dp_eff = dp
+        p_dropped = p
+    # delta == rowsum(p_dropped * dp) for the dropped forward, so the usual
+    # softmax-backward identity holds with dp_eff in place of dp
+    ds = p * (dp_eff - delta[:, None])  # (BQ, S)
 
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
@@ -82,7 +112,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     # (q is already sm_scale-scaled above, so dk needs no extra factor)
     dk = jax.lax.dot_general(ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dv = jax.lax.dot_general(p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(p_dropped, do,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
     @pl.when(qi == 0)
@@ -102,22 +133,51 @@ def _pad_q(x, block):
     return x, s
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    bias: jnp.ndarray, sm_scale: float) -> jnp.ndarray:
+                    bias: jnp.ndarray, sm_scale: float,
+                    dropout_rate: float = 0.0,
+                    seed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Attention over full K/V with additive key bias.
 
     :param q: (B, H, Sq, D)
     :param k,v: (B, H, Sk, D)
     :param bias: (B, Sk) float32 additive mask (0 valid / -1e9 masked)
     :param sm_scale: softmax scale (1/sqrt(D))
+    :param dropout_rate: attention-prob dropout (in-kernel PRNG; the backward
+        pass regenerates the identical mask from the same seed)
+    :param seed: int32 scalar array seeding the in-kernel PRNG (required when
+        dropout_rate > 0)
     :return: (B, H, Sq, D) in q's dtype
     """
-    out, _ = _flash_fwd(q, k, v, bias, sm_scale)
+    out, _ = _flash_fwd(q, k, v, bias, sm_scale, dropout_rate, seed)
     return out
 
 
-def _flash_fwd(q, k, v, bias, sm_scale):
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+
+def _reference_attention(q, k, v, bias, sm_scale, dropout_rate, seed):
+    """Plain-jnp path used off-TPU when dropout is active (the in-kernel PRNG
+    primitives only lower on TPU). Same math, jax.random-generated mask."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_fwd(q, k, v, bias, sm_scale, dropout_rate, seed):
+    if dropout_rate > 0.0 and _interpret():
+        out = _reference_attention(q, k, v, bias, sm_scale, dropout_rate, seed)
+        return out, (q, k, v, bias, seed)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     q_p, sq_orig = _pad_q(q, BLOCK_Q)
@@ -125,9 +185,12 @@ def _flash_fwd(q, k, v, bias, sm_scale):
 
     grid = (b, h, n_q)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
@@ -142,19 +205,25 @@ def _flash_fwd(q, k, v, bias, sm_scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
         interpret=_interpret(),
-    )(q_p, k, v, bias[:, None, :])
+    )(_seed_arr(seed), q_p, k, v, bias[:, None, :])
     out = out[:, :, :sq_orig]
-    return out, (q, k, v, bias)
+    return out, (q, k, v, bias, seed)
 
 
-def _flash_bwd(sm_scale, res, do):
-    q, k, v, bias = res
+def _flash_bwd(sm_scale, dropout_rate, res, do):
+    q, k, v, bias, seed = res
+    if dropout_rate > 0.0 and _interpret():
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference_attention(q, k, v, bias, sm_scale,
+                                                 dropout_rate, seed), q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq, dk, dv, None, None
     b, h, sq, d = q.shape
     sk = k.shape[2]
 
     # recompute o with the forward kernel (no S×S residuals stored in HBM);
     # the backward kernel derives delta = rowsum(do * o) per block in-VMEM
-    o = flash_attention(q, k, v, bias, sm_scale)
+    o = flash_attention(q, k, v, bias, sm_scale, dropout_rate, seed)
 
     q_p, sq_orig = _pad_q(q, BLOCK_Q)
     do_p, _ = _pad_q(do, BLOCK_Q)
@@ -163,9 +232,12 @@ def _flash_bwd(sm_scale, res, do):
     grid = (b, h, n_q)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        functools.partial(_bwd_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
@@ -194,10 +266,10 @@ def _flash_bwd(sm_scale, res, do):
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ],
         interpret=_interpret(),
-    )(q_p, k, v, bias[:, None, :], do_p, o_p)
+    )(_seed_arr(seed), q_p, k, v, bias[:, None, :], do_p, o_p)
 
     dq = dq[:, :, :sq_orig]
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -221,7 +293,9 @@ def supported(sq: int, sk: int, d: int, dtype) -> bool:
 
 
 def mha_flash(q_heads: jnp.ndarray, k_heads: jnp.ndarray, v_heads: jnp.ndarray,
-              key_valid: Optional[jnp.ndarray], sm_scale: float) -> jnp.ndarray:
+              key_valid: Optional[jnp.ndarray], sm_scale: float,
+              dropout_rate: float = 0.0,
+              seed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Adapter from the model's (B, T, H, D) layout + bool key mask.
 
     Pads the key length up to a lane-aligned multiple of 128 (padded keys are
@@ -240,5 +314,5 @@ def mha_flash(q_heads: jnp.ndarray, k_heads: jnp.ndarray, v_heads: jnp.ndarray,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    out = flash_attention(q, k, v, bias, sm_scale)
+    out = flash_attention(q, k, v, bias, sm_scale, dropout_rate, seed)
     return jnp.swapaxes(out, 1, 2)

@@ -371,6 +371,11 @@ class TrainManager:
                             micro = 0
 
                     norm_loss, nll, ctc, n_correct = metrics
+                    if not np.isfinite(float(norm_loss)):
+                        # host-side counterpart of the reference's non-NaN
+                        # assertion (joeynmt/loss.py:166-167)
+                        logger.warning("Non-finite batch loss %s at step %d",
+                                       float(norm_loss), self.stats.steps)
                     total_batch_loss += float(norm_loss)
                     epoch_nseqs += nseqs_real
                     epoch_ntokens += ntokens_real

@@ -41,7 +41,8 @@ def bench_encoder_attention(batch=8, seq=1024, layers=16, hidden=512, heads=4):
             hidden_size=hidden, ff_size=4 * hidden, num_layers=layers,
             num_heads=heads, dropout=0.0, emb_dropout=0.0,
             layer_norm_position="pre", dtype=jnp.bfloat16, attn_impl=impl)
-        params = enc.init({"params": jax.random.PRNGKey(0)}, x, lengths, None)["params"]
+        params = jax.jit(enc.init)({"params": jax.random.PRNGKey(0)}, x, lengths,
+                                   None)["params"]
 
         @jax.jit
         def fwd(p, x):
@@ -76,7 +77,7 @@ def bench_greedy_sweep():
     for batch in [8, 32, 64]:
         src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
         src_length = jnp.full((batch,), n_frames, jnp.int32)
-        params = model.init(
+        params = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch, 8), jnp.int32),
             src_length, None, jnp.ones((batch, 1, 8), bool))["params"]
 
@@ -104,7 +105,7 @@ def bench_beam_latency(batch=8, beam=5):
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
     src_length = jnp.full((batch,), n_frames, jnp.int32)
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch, 8), jnp.int32),
         src_length, None, jnp.ones((batch, 1, 8), bool))["params"]
 
@@ -148,8 +149,8 @@ def bench_train_step(batch=16, seq=1000, trg_len=48):
     trg_length = jnp.full((batch,), trg_len, jnp.int32)
     trg_mask = jnp.ones((batch, 1, trg_len), bool)
 
-    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_input,
-                        src_length, None, trg_mask)["params"]
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, src, trg_input,
+                                 src_length, None, trg_mask)["params"]
     opt_state = tx.init(params)
 
     @jax.jit

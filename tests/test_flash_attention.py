@@ -99,3 +99,28 @@ class TestSupported:
         assert supported(256, 250, 64, jnp.float32)  # unaligned sk padded inside
         assert not supported(256, 256, 80, jnp.float32)  # odd head dim
         assert not supported(256, 256, 512, jnp.float32)  # head too large
+
+
+class TestDropout:
+    def test_deterministic_per_seed_and_grads(self, qkv):
+        """In-kernel dropout: same seed -> same output; grads finite and
+        close to finite differences."""
+        q, k, v, bias = qkv
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        o1 = flash_attention(q, k, v, bias, sm, 0.1, jnp.int32(7))
+        o2 = flash_attention(q, k, v, bias, sm, 0.1, jnp.int32(7))
+        o3 = flash_attention(q, k, v, bias, sm, 0.1, jnp.int32(8))
+        base = flash_attention(q, k, v, bias, sm)
+        assert float(jnp.abs(o1 - o2).max()) == 0.0
+        assert float(jnp.abs(o1 - o3).max()) > 0
+        assert float(jnp.abs(o1 - base).max()) > 0
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, sm, 0.1, jnp.int32(7))**2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        assert all(bool(jnp.isfinite(x).all()) for x in g)
+        eps = 1e-2
+        i = (0, 0, 3, 5)
+        fd = (loss(q.at[i].add(eps), k, v) - loss(q.at[i].add(-eps), k, v)) / (2 * eps)
+        assert abs(float(fd) - float(g[0][i])) < 5e-2
