@@ -105,3 +105,51 @@ class TestAugmentation:
         out = specaugment_jax(jax.random.PRNGKey(0), x, jnp.int32(60))
         assert out.shape == x.shape
         assert bool((np.asarray(out) != np.asarray(x)).any())
+
+
+class TestDeviceFrontend:
+    @needs_ref
+    def test_matches_host_pipeline(self):
+        """device_frontend == host fbank+CMVN on real audio (eval mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from joeys2t_tpu.ops.frontend import device_frontend
+
+        wav1, sr = read_wav(REF_WAV_DIR / "260-123440-1.wav")
+        wav2, _ = read_wav(REF_WAV_DIR / "260-123440-0.wav")
+        n = max(len(wav1), len(wav2))
+        batch = np.zeros((2, n), np.float32)
+        batch[0, :len(wav1)] = wav1
+        batch[1, :len(wav2)] = wav2
+        lengths = jnp.asarray([len(wav1), len(wav2)])
+
+        feats, frame_lengths = device_frontend(
+            jnp.asarray(batch), lengths, training=False)
+
+        host1 = CMVN()(fbank_numpy(wav1, sample_rate=sr))
+        host2 = CMVN()(fbank_numpy(wav2, sample_rate=sr))
+        assert int(frame_lengths[0]) == host1.shape[0]
+        assert int(frame_lengths[1]) == host2.shape[0]
+        np.testing.assert_allclose(np.asarray(feats[0, :host1.shape[0]]), host1,
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(feats[1, :host2.shape[0]]), host2,
+                                   atol=5e-3)
+        # padded frames zeroed
+        np.testing.assert_allclose(np.asarray(feats[1, host2.shape[0]:]), 0.0)
+
+    @needs_ref
+    def test_training_mode_applies_specaugment(self):
+        import jax
+        import jax.numpy as jnp
+
+        from joeys2t_tpu.ops.frontend import device_frontend
+
+        wav, sr = read_wav(REF_WAV_DIR / "260-123440-1.wav")
+        batch = jnp.asarray(wav[None, :])
+        lengths = jnp.asarray([len(wav)])
+        f_eval, _ = device_frontend(batch, lengths, training=False)
+        f_train, _ = device_frontend(batch, lengths, rng=jax.random.PRNGKey(1),
+                                     training=True,
+                                     specaugment=(2, 27, 2, 40, 1.0))
+        assert bool((np.asarray(f_eval) != np.asarray(f_train)).any())

@@ -70,3 +70,24 @@ class TestAccuracy:
 
     def test_sequence_accuracy(self):
         assert sequence_accuracy(["a", "b"], ["a", "c"]) == 50.0
+
+
+class TestCheckpointAveraging:
+    def test_uniform_average(self, tmp_path):
+        """average_checkpoints = arithmetic mean of params
+        (scripts/average_checkpoints.py semantics)."""
+        from joeys2t_tpu.checkpoints import (average_checkpoints,
+                                             load_checkpoint, save_checkpoint)
+
+        p1 = {"layer": {"kernel": np.ones((2, 2), np.float32) * 2.0}}
+        p2 = {"layer": {"kernel": np.ones((2, 2), np.float32) * 4.0}}
+        for i, p in enumerate([p1, p2]):
+            save_checkpoint(tmp_path / f"{i}.ckpt",
+                            {"model_state": p, "stats_state": {"steps": i}})
+        avg = average_checkpoints([tmp_path / "0.ckpt", tmp_path / "1.ckpt"])
+        np.testing.assert_allclose(avg["model_state"]["layer"]["kernel"], 3.0)
+        assert avg["optimizer_state"] is None
+        # averaged ckpt round-trips
+        save_checkpoint(tmp_path / "avg.ckpt", avg)
+        loaded = load_checkpoint(tmp_path / "avg.ckpt")
+        np.testing.assert_allclose(loaded["model_state"]["layer"]["kernel"], 3.0)

@@ -216,3 +216,38 @@ class TestTiedWeights:
             {"params": params}, src, trg_input, src_length, src_mask, trg_mask,
             deterministic=True)
         assert logits.shape == (2, 5, len(vocab))
+
+
+class TestDeepNet:
+    def test_alpha_applied_at_construction(self):
+        """xavier_normal triggers DeepNet residual alphas
+        (joeynmt/initialization.py:63-76,137-152)."""
+        vocab = tiny_vocab()
+        cfg = mt_cfg()
+        cfg["initializer"] = "xavier_normal"
+        cfg["encoder"]["num_layers"] = 6
+        cfg["decoder"]["num_layers"] = 6
+        model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+        assert abs(model.encoder.alpha - 0.81 * (6**4 * 6)**(1 / 16)) < 1e-12
+        assert abs(model.decoder.alpha - (3 * 6)**0.25) < 1e-12
+
+    def test_default_alpha_is_one(self):
+        vocab = tiny_vocab()
+        model, _ = build_model(mt_cfg(), src_vocab=vocab, trg_vocab=vocab)
+        assert model.encoder.alpha == 1.0
+
+
+class TestTiedParamSharing:
+    def test_single_embedding_table(self):
+        """tied_embeddings: one shared table in the param tree (flax module
+        sharing), and tied_softmax reuses it for the output projection."""
+        vocab = tiny_vocab()
+        cfg = mt_cfg()
+        cfg["tied_embeddings"] = True
+        cfg["tied_softmax"] = True
+        model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+        params, _ = init_model(model, spec, "MT")
+        n_tables = sum(1 for k in params if "embed" in k)
+        assert n_tables == 1
+        # no separate decoder output projection
+        assert "output_layer" not in params["decoder"]
