@@ -21,11 +21,20 @@ LOG_ZERO = -1e9
 INFEASIBLE = 1e8
 
 
+# differences are clamped before exp so that a fully-impossible cell (all
+# operands at LOG_ZERO) keeps a non-zero denominator: exp of an unclamped
+# -1e9 underflows to exactly 0 and the logsumexp backward then divides 0/0,
+# poisoning the whole gradient (NaN * 0 stays NaN through jnp.where)
+_CLAMP = -80.0
+
+
 def _logsumexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.where(m <= LOG_ZERO, 0.0, m)
     out = m_safe + jnp.log(
-        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+        jnp.exp(jnp.maximum(a - m_safe, _CLAMP))
+        + jnp.exp(jnp.maximum(b - m_safe, _CLAMP))
+        + jnp.exp(jnp.maximum(c - m_safe, _CLAMP)))
     return jnp.where(m <= LOG_ZERO, LOG_ZERO, out)
 
 
@@ -93,7 +102,9 @@ def ctc_loss(
 
     m = jnp.maximum(last_blank, last_label)
     m_safe = jnp.where(m <= LOG_ZERO, 0.0, m)
-    total = m_safe + jnp.log(jnp.exp(last_blank - m_safe) + jnp.exp(last_label - m_safe))
+    total = m_safe + jnp.log(
+        jnp.exp(jnp.maximum(last_blank - m_safe, _CLAMP))
+        + jnp.exp(jnp.maximum(last_label - m_safe, _CLAMP)))
     total = jnp.where(m <= LOG_ZERO, LOG_ZERO, total)
     return -total
 

@@ -542,6 +542,99 @@ def _beam_search_jit(
     return fin_seqs, fin_scores
 
 
+def _recurrent_beam_search(params, model, spec, encoder_output, encoder_hidden,
+                           src_mask, beam_size, max_output_length, alpha,
+                           n_best=1, **kwargs):
+    """Beam search for the legacy RNN decoder (joeynmt/search.py:345-825, the
+    non-transformer branch): host-side loop, per-step state threading."""
+    b = encoder_output.shape[0]
+    k = beam_size
+    v = spec.trg_vocab_size
+    return_prob = kwargs.get("return_prob", "none") == "hyp"
+    min_output_length = kwargs.get("min_output_length", 1)
+    generate_unk = kwargs.get("generate_unk", True)
+
+    def tile(x):
+        return np.repeat(np.asarray(x), k, axis=0)
+
+    enc = jnp.asarray(tile(encoder_output))
+    msk = jnp.asarray(tile(src_mask))
+    enc_hidden = jnp.asarray(tile(encoder_hidden))
+
+    alive_seq = np.full((b * k, 1), spec.bos_index, np.int32)
+    topk_log_probs = np.full((b, k), -np.inf)
+    topk_log_probs[:, 0] = 0.0
+    hypotheses = [[] for _ in range(b)]
+    is_finished = np.zeros((b, k), bool)
+    carry, att_vec = None, None
+
+    decode_rnn = _rnn_decode_method(model)
+    for step in range(max_output_length):
+        prev = jnp.asarray(alive_seq[:, -1:])
+        logits, carry, _, att_vec, _ = model.apply(
+            {"params": params}, prev, enc, enc_hidden, msk, 1,
+            carry=carry, prev_att_vector=att_vec, method=decode_rnn)
+        log_probs = np.asarray(jax.nn.log_softmax(
+            logits[:, 0].astype(jnp.float32), axis=-1)).astype(np.float64)
+
+        for tok in spec.forbidden_at_generation + (spec.pad_index,):
+            if tok < v:
+                log_probs[:, tok] = -np.inf
+        if not generate_unk:
+            log_probs[:, spec.unk_index] = -np.inf
+        if step < min_output_length:
+            log_probs[:, spec.eos_index] = -np.inf
+
+        log_probs += topk_log_probs.reshape(-1)[:, None]
+        curr = log_probs.copy()
+        lp = 1.0
+        if alpha > 0:
+            lp = ((5.0 + (step + 1)) / 6.0)**alpha
+            curr /= lp
+        curr = curr.reshape(b, k * v)
+        topk_ids = np.argsort(-curr, axis=1)[:, :k]
+        topk_scores = np.take_along_axis(curr, topk_ids, axis=1)
+        topk_log_probs = topk_scores * lp if alpha > 0 else topk_scores.copy()
+        beam_idx = topk_ids // v
+        token = topk_ids % v
+
+        select = (beam_idx + (np.arange(b) * k)[:, None]).reshape(-1)
+        alive_seq = np.concatenate(
+            [alive_seq[select], token.reshape(-1, 1).astype(np.int32)], axis=1)
+        carry = jax.tree.map(lambda t: t[jnp.asarray(select)], carry)
+        att_vec = att_vec[jnp.asarray(select)]
+
+        newly_eos = token == spec.eos_index
+        at_max = step + 1 == max_output_length
+        for i in range(b):
+            for j in range(k):
+                if newly_eos[i, j] or (at_max and not is_finished[i, j]):
+                    seq = alive_seq[i * k + j, 1:]
+                    hypotheses[i].append((topk_scores[i, j], seq.copy()))
+        is_finished = newly_eos | is_finished | ~np.isfinite(topk_scores)
+        if at_max:
+            is_finished[:] = True
+        if is_finished.all():
+            break
+        # finished rows stop contributing (score -inf keeps them out of topk)
+        topk_log_probs[is_finished] = -np.inf
+
+    predictions, scores = [], []
+    for i in range(b):
+        best = sorted(hypotheses[i], key=lambda x: x[0], reverse=True)[:n_best]
+        while len(best) < n_best:
+            best.append((-1.0, np.array([spec.unk_index], np.int32)))
+        for score, seq in best:
+            predictions.append(np.asarray(seq, np.int64))
+            scores.append(float(score))
+    max_len = max(p.shape[0] for p in predictions)
+    final = np.full((len(predictions), max_len), spec.pad_index, np.int64)
+    for j, p in enumerate(predictions):
+        final[j, :p.shape[0]] = p
+    final_scores = (np.array(scores, np.float32)[:, None] if return_prob else None)
+    return final, final_scores, None
+
+
 def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
                 beam_size, max_output_length, alpha, n_best=1, **kwargs):
     """Host wrapper (joeynmt/search.py:345-825). Returns
@@ -550,6 +643,10 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
     assert n_best <= beam_size, (
         f"Can only return {beam_size} best hypotheses."
         "`n_best` must be smaller than or equal to `beam_size`.")
+    if isinstance(model.decoder, RecurrentDecoder):
+        return _recurrent_beam_search(
+            params, model, spec, encoder_output, encoder_hidden, src_mask,
+            beam_size, max_output_length, alpha, n_best=n_best, **kwargs)
     del encoder_hidden  # transformer only
 
     return_prob = kwargs.get("return_prob", "none") == "hyp"

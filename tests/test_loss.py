@@ -119,3 +119,38 @@ class TestXentCTC:
         np.testing.assert_allclose(float(total), 0.7 * float(xent) + 0.3 * float(ctc),
                                    rtol=1e-6)
         assert float(total) >= 0.0
+
+
+class TestCTCGradients:
+    def test_grads_finite_with_infeasible_rows(self):
+        """Regression: batches containing infeasible/zero-length CTC rows
+        (static-shape padding) must not produce NaN gradients — the log-zero
+        surrogate arithmetic underflows exp() to exactly 0 and the logsumexp
+        backward divides 0/0 unless the differences are clamped."""
+        import jax
+
+        rng = np.random.RandomState(0)
+        b, t, v, l = 4, 12, 10, 8
+        logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32))
+        targets = jnp.asarray(rng.randint(4, v, size=(b, l)))
+        input_lengths = jnp.asarray([12, 12, 3, 1])   # rows 3,4 infeasible-ish
+        target_lengths = jnp.asarray([8, 5, 8, 0])    # row 4: padding row
+
+        def loss(lg):
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            return ctc_loss_sum(lp, targets, input_lengths, target_lengths,
+                                blank_id=BOS, zero_infinity=True)
+
+        val, grad = jax.value_and_grad(loss)(logits)
+        assert np.isfinite(float(val))
+        assert bool(jnp.isfinite(grad).all()), "NaN/Inf in CTC gradients"
+        # feasible rows still match torch
+        want = torch.nn.CTCLoss(blank=BOS, reduction="none", zero_infinity=True)(
+            torch.log_softmax(torch.tensor(np.asarray(logits)), -1).transpose(0, 1),
+            torch.tensor(np.asarray(targets)),
+            torch.tensor(np.asarray(input_lengths)),
+            torch.tensor(np.asarray(target_lengths)),
+        ).numpy()
+        got = np.asarray(ctc_loss(jax.nn.log_softmax(logits, -1), targets,
+                                  input_lengths, target_lengths, blank_id=BOS))
+        np.testing.assert_allclose(got[:2], want[:2], rtol=1e-4, atol=1e-4)
