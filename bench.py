@@ -31,7 +31,7 @@ def main():
 
     model, spec = _build()  # 16L enc / 8L dec / h512 / ff2048, bf16 compute
 
-    batch_size = 16
+    batch_size = 32
     audio_seconds = 10.0
     n_frames = 1000  # 10s at 10ms shift
     max_output_length = 96

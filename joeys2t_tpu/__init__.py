@@ -14,3 +14,33 @@ Behavioral contracts kept from the reference (cited per-module):
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "load_config", "parse_global_args", "train", "test", "translate",
+    "predict", "prepare", "search", "load_model_dir",
+]
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import joeys2t_tpu` light)."""
+    if name in ("load_config", "parse_global_args"):
+        from joeys2t_tpu import config as _m
+
+        return getattr(_m, name)
+    if name == "train":
+        from joeys2t_tpu.training import train as _f
+
+        return _f
+    if name in ("test", "translate", "predict", "prepare"):
+        from joeys2t_tpu import prediction as _m
+
+        return getattr(_m, name)
+    if name == "search":
+        from joeys2t_tpu.search import search as _f
+
+        return _f
+    if name == "load_model_dir":
+        from joeys2t_tpu.hub_interface import load_model_dir as _f
+
+        return _f
+    raise AttributeError(name)

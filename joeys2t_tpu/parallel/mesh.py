@@ -50,6 +50,32 @@ class MeshContext:
         return jax.device_put(tree, self.replicated)
 
 
+_DEFAULT_MESH: Optional[MeshContext] = None
+
+
+def set_default_mesh(ctx: Optional[MeshContext]) -> None:
+    """Install the mesh used by eval/search for input sharding."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = ctx
+
+
+def get_default_mesh() -> Optional[MeshContext]:
+    return _DEFAULT_MESH
+
+
+def maybe_shard_batch(x, batch_dim_size: Optional[int] = None):
+    """device_put an array with dim-0 data sharding when a default mesh is
+    installed and the batch divides the dp size; otherwise return as-is."""
+    ctx = _DEFAULT_MESH
+    if ctx is None or x is None:
+        return x
+    dp = ctx.mesh.shape["data"]
+    n = x.shape[0] if batch_dim_size is None else batch_dim_size
+    if dp <= 1 or n % dp != 0:
+        return x
+    return jax.device_put(x, ctx.data_sharding)
+
+
 def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> MeshContext:
     """Build a (data, model) mesh over the available devices."""
     devices = jax.devices()

@@ -702,10 +702,15 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
 def search(params, model, spec, batch: Batch, max_output_length: int,
            beam_size: int, beam_alpha: float, n_best: int = 1, **kwargs):
     """Entry point (joeynmt/search.py:828-912): encode once, adapt max length,
-    dispatch greedy vs beam."""
-    src = jnp.asarray(batch.src)
-    src_length = jnp.asarray(batch.src_length)
-    src_mask_in = None if batch.src_mask is None else jnp.asarray(batch.src_mask)
+    dispatch greedy vs beam. When a default mesh is installed, inputs are
+    placed with dim-0 data sharding so the jitted encode/decode loops
+    partition across the mesh (GSPMD propagates through the while_loop)."""
+    from joeys2t_tpu.parallel.mesh import maybe_shard_batch
+
+    src = maybe_shard_batch(jnp.asarray(batch.src))
+    src_length = maybe_shard_batch(jnp.asarray(batch.src_length))
+    src_mask_in = None if batch.src_mask is None else maybe_shard_batch(
+        jnp.asarray(batch.src_mask))
     encoder_output, encoder_hidden, src_mask = model.apply(
         {"params": params}, src, src_length, src_mask_in, method="encode")
     if batch.src_mask is not None:

@@ -152,6 +152,11 @@ class TrainManager:
         self.batch_sampler = None
         self.stats = TrainStatistics(minimize_metric=self.args.minimize_metric)
 
+        # eval/search shard their inputs over this mesh too
+        from joeys2t_tpu.parallel.mesh import set_default_mesh
+
+        set_default_mesh(self.mesh)
+
         self._dropout_rng = jax.random.PRNGKey(seed + 7919)
 
         # jitted steps
