@@ -205,6 +205,13 @@ class BaseDataset:
         background prefetch thread."""
         shuffle = shuffle and self.split == "train"
 
+        # Multi-host: training data shards rank-strided across processes
+        # (joeynmt/helpers_for_ddp.py:244-343 semantics). Evaluation data is
+        # deliberately NOT sharded — every process decodes the full set and
+        # rank 0 reports, which replaces the reference's all_gather +
+        # index-based order restoration (joeynmt/prediction.py:220-257) with
+        # redundant-but-simple computation (eval is a small fraction of a
+        # training run; device-level parallelism still applies within a host).
         if _multi_process() and self.split == "train":
             sampler = ShardedSubsetSampler(self, shuffle=shuffle, seed=seed)
         else:
