@@ -354,6 +354,36 @@ def prepare(args: BaseConfig, rank: int = 0, mode: str = "train"):
     return model, spec, params, loss_fn, train_data, dev_data, test_data
 
 
+def evaluate(valid_scores: Dict, valid_hyp: List, data,
+             args: TestConfig) -> Tuple[Dict[str, float], List[str]]:
+    """Standalone metric computation over decoded hypotheses
+    (joeynmt/prediction.py:384-439)."""
+    valid_ref = [data.tokenizer[data.trg_lang].post_process(t) for t in data.trg]
+    valid_hyp_1best = ([valid_hyp[i] for i in range(0, len(valid_hyp), args.n_best)]
+                       if args.n_best > 1 else valid_hyp)
+    assert len(valid_hyp_1best) == len(valid_ref), (valid_hyp_1best, valid_ref)
+
+    for eval_metric in args.eval_metrics:
+        if eval_metric == "bleu":
+            valid_scores[eval_metric] = bleu(valid_hyp_1best, valid_ref,
+                                             **args.sacrebleu_cfg)
+        elif eval_metric == "chrf":
+            valid_scores[eval_metric] = chrf(valid_hyp_1best, valid_ref,
+                                             **args.sacrebleu_cfg)
+        elif eval_metric == "token_accuracy":
+            valid_scores[eval_metric] = token_accuracy(
+                valid_hyp_1best, valid_ref, tokenizer=str.split)
+        elif eval_metric == "sequence_accuracy":
+            valid_scores[eval_metric] = sequence_accuracy(valid_hyp_1best, valid_ref)
+        elif eval_metric == "wer":
+            tok = EvaluationTokenizer(
+                lowercase=args.sacrebleu_cfg.get("lowercase", False),
+                tokenize=args.sacrebleu_cfg.get("tokenize", "13a"),
+                no_punc=args.sacrebleu_cfg.get("no_punc", False))
+            valid_scores[eval_metric] = wer(valid_hyp_1best, valid_ref, tok)
+    return valid_scores, valid_ref
+
+
 def init_params(model, spec, args, src_vocab, trg_vocab):
     """Shape-init the flax params then apply the configured initializers."""
     rng = jax.random.PRNGKey(args.seed)
@@ -372,6 +402,30 @@ def init_params(model, spec, args, src_vocab, trg_vocab):
     src_pad = src_vocab.pad_index if src_vocab is not None else trg_vocab.pad_index
     params = initialize_model(params, args.model, src_pad, trg_vocab.pad_index,
                               jax.random.fold_in(rng, 1))
+
+    # pretrained embedding files (joeynmt/model.py:496-503)
+    from joeys2t_tpu.models.embeddings import load_pretrained_embeddings
+
+    enc_embed_path = args.model["encoder"]["embeddings"].get("load_pretrained")
+    dec_embed_path = args.model["decoder"]["embeddings"].get("load_pretrained")
+    if enc_embed_path and args.task == "MT" and "src_embed" in params:
+        logger.info("Loading pretrained src embeddings...")
+        table = load_pretrained_embeddings(
+            Path(enc_embed_path), src_vocab,
+            args.model["encoder"]["embeddings"]["embedding_dim"])
+        cur = np.asarray(params["src_embed"]["lut"]["embedding"])
+        params["src_embed"]["lut"]["embedding"] = jnp.asarray(
+            np.where(np.isnan(table), cur, table))
+    if dec_embed_path and not args.model.get("tied_embeddings", False) \
+            and "trg_embed" in params:
+        logger.info("Loading pretrained trg embeddings...")
+        table = load_pretrained_embeddings(
+            Path(dec_embed_path), trg_vocab,
+            args.model["decoder"]["embeddings"]["embedding_dim"])
+        cur = np.asarray(params["trg_embed"]["lut"]["embedding"])
+        params["trg_embed"]["lut"]["embedding"] = jnp.asarray(
+            np.where(np.isnan(table), cur, table))
+
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     logger.info("Total params: %d", n_params)
     return params
