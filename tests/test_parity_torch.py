@@ -97,6 +97,67 @@ def test_s2t_encoder_decoder_parity(ref_modules):
 
 
 @needs_ref
+def test_greedy_search_parity(ref_modules):
+    """End-to-end decode parity: the reference's own greedy search
+    (joeynmt/search.py:greedy, full-prefix re-decode) vs our jit KV-cached
+    while_loop greedy must emit identical token sequences from the same
+    converted weights."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from joeynmt.model import build_model as torch_build
+    from joeynmt.search import greedy as torch_greedy
+    from joeynmt.vocabulary import Vocabulary as TorchVocab
+
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.convert import torch_state_dict_to_flax
+    from joeys2t_tpu.models import build_model as jax_build
+    from joeys2t_tpu.search import greedy as jax_greedy
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    sym = dict(unk_token="<unk>", pad_token="<pad>", bos_token="<s>",
+               eos_token="</s>", sep_token=None, unk_id=0, pad_id=1, bos_id=2,
+               eos_id=3, sep_id=None, lang_tags=[])
+    tokens = [f"t{i}" for i in range(30)]
+    tvocab = TorchVocab(tokens, SimpleNamespace(**sym))
+    side = {"num_layers": 2, "num_heads": 2, "hidden_size": 32, "ff_size": 64,
+            "dropout": 0.0, "layer_norm": "pre", "activation": "relu",
+            "embeddings": {"embedding_dim": 32, "scale": True, "dropout": 0.0}}
+    cfg = {"encoder": dict(side, type="transformer"),
+           "decoder": dict(side, type="transformer")}
+    torch.manual_seed(3)
+    tmodel = torch_build(cfg, src_vocab=tvocab, trg_vocab=tvocab)
+    tmodel.eval()
+
+    b, s, max_len = 3, 9, 20
+    rng = np.random.RandomState(1)
+    src = rng.randint(4, 34, size=(b, s))
+    src_mask_t = torch.ones(b, 1, s, dtype=torch.bool)
+    with torch.no_grad():
+        enc_t, hid_t, msk_t = tmodel._encode(
+            src=torch.tensor(src), src_length=torch.tensor([s] * b),
+            src_mask=src_mask_t, task="MT")
+        out_t, _, _ = torch_greedy(msk_t, max_len, tmodel, enc_t, hid_t)
+
+    jvocab = Vocabulary(tokens, SpecialSymbols())
+    jmodel, spec = jax_build(cfg, src_vocab=jvocab, trg_vocab=jvocab)
+    params = torch_state_dict_to_flax(
+        {k: v.cpu().numpy() for k, v in tmodel.state_dict().items()})
+    enc_j, _, msk_j = jmodel.apply(
+        {"params": params}, jnp.asarray(src), jnp.full((b,), s, jnp.int32),
+        jnp.ones((b, 1, s), bool), method="encode")
+    np.testing.assert_allclose(enc_t.numpy(), np.asarray(enc_j), atol=5e-6)
+    out_j, _, _ = jax_greedy(params, jmodel, spec, enc_j, None, msk_j, max_len)
+
+    for i in range(b):
+        t_row = out_t.numpy()[i]
+        eos = np.where(t_row == 3)[0]
+        n = (eos[0] + 1) if len(eos) else len(t_row)
+        np.testing.assert_array_equal(t_row[:n], np.asarray(out_j)[i, :n])
+
+
+@needs_ref
 def test_convert_roundtrip(ref_modules):
     """flax -> torch-naming -> flax must be the identity."""
     import jax
