@@ -158,6 +158,82 @@ def test_greedy_search_parity(ref_modules):
 
 
 @needs_ref
+def test_beam_search_parity(ref_modules):
+    """Beam search parity vs the reference (joeynmt/search.py:345-825):
+    same converted weights, beam_size=4, n_best=2, GNMT alpha=1.0. Covers
+    both the run-to-max-length path (untrained model never emits eos) and
+    the finished-hypothesis/length-penalty path (eos-biased output weights),
+    including hypothesis scores under return_prob='hyp'."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from joeynmt.model import build_model as torch_build
+    from joeynmt.search import beam_search as torch_beam
+    from joeynmt.vocabulary import Vocabulary as TorchVocab
+
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.convert import torch_state_dict_to_flax
+    from joeys2t_tpu.models import build_model as jax_build
+    from joeys2t_tpu.search import beam_search as jax_beam
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    sym = dict(unk_token="<unk>", pad_token="<pad>", bos_token="<s>",
+               eos_token="</s>", sep_token=None, unk_id=0, pad_id=1, bos_id=2,
+               eos_id=3, sep_id=None, lang_tags=[])
+    tokens = [f"t{i}" for i in range(30)]
+    side = {"num_layers": 2, "num_heads": 2, "hidden_size": 32, "ff_size": 64,
+            "dropout": 0.0, "layer_norm": "pre", "activation": "relu",
+            "embeddings": {"embedding_dim": 32, "scale": True, "dropout": 0.0}}
+    cfg = {"encoder": dict(side, type="transformer"),
+           "decoder": dict(side, type="transformer")}
+    torch.manual_seed(3)
+    tmodel = torch_build(cfg, src_vocab=TorchVocab(tokens, SimpleNamespace(**sym)),
+                         trg_vocab=TorchVocab(tokens, SimpleNamespace(**sym)))
+    tmodel.eval()
+    jvocab = Vocabulary(tokens, SpecialSymbols())
+    jmodel, spec = jax_build(cfg, src_vocab=jvocab, trg_vocab=jvocab)
+
+    b, s, max_len, k, alpha = 3, 9, 20, 4, 1.0
+    rng = np.random.RandomState(1)
+    src = rng.randint(4, 34, size=(b, s))
+
+    def run_both(n_best, return_prob):
+        with torch.no_grad():
+            enc_t, hid_t, msk_t = tmodel._encode(
+                src=torch.tensor(src), src_length=torch.tensor([s] * b),
+                src_mask=torch.ones(b, 1, s, dtype=torch.bool), task="MT")
+            out_t, sc_t, _ = torch_beam(tmodel, k, enc_t, hid_t, msk_t, max_len,
+                                        n_best=n_best, alpha=alpha,
+                                        return_prob=return_prob)
+        params = torch_state_dict_to_flax(
+            {kk: v.cpu().numpy() for kk, v in tmodel.state_dict().items()})
+        enc_j, _, msk_j = jmodel.apply(
+            {"params": params}, jnp.asarray(src), jnp.full((b,), s, jnp.int32),
+            jnp.ones((b, 1, s), bool), method="encode")
+        out_j, sc_j, _ = jax_beam(params, jmodel, spec, enc_j, None, msk_j, k,
+                                  max_len, alpha, n_best=n_best,
+                                  return_prob=return_prob)
+        tn, jn = out_t.numpy(), np.asarray(out_j)
+        for i in range(tn.shape[0]):
+            eos = np.where(tn[i] == 3)[0]
+            n = (eos[0] + 1) if len(eos) else len(tn[i])
+            np.testing.assert_array_equal(tn[i][:n], jn[i][:n])
+        if sc_t is not None and sc_j is not None:
+            np.testing.assert_allclose(np.asarray(sc_t).ravel(),
+                                       np.asarray(sc_j).ravel(), atol=1e-5)
+
+    # case A: no hypothesis ever finishes -> run-to-max-length path
+    run_both(n_best=1, return_prob="none")
+    # case B: eos-biased output weights -> hypotheses finish at varying
+    # steps, exercising the finished store + GNMT length penalty + n-best
+    with torch.no_grad():
+        w = tmodel.decoder.output_layer.weight  # (vocab, hidden)
+        w[3] = 1.05 * w[25]
+    run_both(n_best=2, return_prob="hyp")
+
+
+@needs_ref
 def test_convert_roundtrip(ref_modules):
     """flax -> torch-naming -> flax must be the identity."""
     import jax
