@@ -31,7 +31,7 @@ def main():
 
     model, spec = _build()  # 16L enc / 8L dec / h512 / ff2048, bf16 compute
 
-    batch_size = 32
+    batch_size = 256  # throughput climbs with batch (see docs/benchmarks_s2t.md)
     audio_seconds = 10.0
     n_frames = 1000  # 10s at 10ms shift
     max_output_length = 96
@@ -56,14 +56,16 @@ def main():
     out, _, _ = transformer_greedy(params, model, spec, enc_out, enc_mask,
                                    max_output_length)
 
-    # timed runs: full pipeline encode + greedy decode
+    # timed runs: full pipeline encode + greedy decode. transformer_greedy
+    # returns host numpy arrays, which forces real completion each iteration
+    # (jax.block_until_ready alone does not wait on the remote-TPU backend).
     n_iters = 5
     start = time.perf_counter()
     for _ in range(n_iters):
         enc_out, _, enc_mask = encode(params, src, src_length)
         out, _, _ = transformer_greedy(params, model, spec, enc_out, enc_mask,
                                        max_output_length)
-    jax.block_until_ready(out)
+    assert isinstance(out, np.ndarray)  # host array == synced
     elapsed = time.perf_counter() - start
 
     total_audio = batch_size * audio_seconds * n_iters

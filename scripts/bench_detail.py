@@ -16,14 +16,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _materialize(out):
+    """Force completion of `out`'s computation with a real device->host fetch.
+
+    jax.block_until_ready() does NOT wait for execution on the remote-TPU
+    (axon tunnel) backend, so timing loops must end with an actual transfer.
+    Fetches the smallest leaf (benched fns return a scalar for this reason)."""
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "size")]
+    if leaves:
+        np.asarray(min(leaves, key=lambda a: a.size))
+
+
 def timeit(fn, *args, iters=5, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - start) / iters
 
 
@@ -47,7 +58,7 @@ def bench_encoder_attention(batch=8, seq=1024, layers=16, hidden=512, heads=4):
         @jax.jit
         def fwd(p, x):
             out, _, _ = enc.apply({"params": p}, x, lengths, None)
-            return out
+            return out.astype(jnp.float32).sum()  # scalar: cheap to fetch
 
         @jax.jit
         def fwdbwd(p, x):
@@ -55,7 +66,12 @@ def bench_encoder_attention(batch=8, seq=1024, layers=16, hidden=512, heads=4):
                 out, _, _ = enc.apply({"params": p}, x, lengths, None)
                 return jnp.sum(out.astype(jnp.float32) ** 2)
 
-            return jax.grad(loss)(p)
+            grads = jax.grad(loss)(p)
+            # reduce to a scalar so _materialize fetches ~nothing but all
+            # gradients must still be computed
+            return jax.tree_util.tree_reduce(
+                lambda a, g: a + g.astype(jnp.float32).sum(), grads,
+                jnp.float32(0))
 
         t_fwd = timeit(fwd, params, x)
         t_bwd = timeit(fwdbwd, params, x)

@@ -117,6 +117,23 @@ def test_s2t_train_validate_test():
 
 
 @needs_ref
+def test_s2t_conformer_train():
+    """Conformer encoder (conv module + dual FFN, joeynmt/encoders.py:376-445)
+    trains end-to-end through the same S2T pipeline: one epoch + validation
+    + checkpointing must succeed with finite losses."""
+    tmp = Path(tempfile.mkdtemp())
+    cfg = s2t_cfg(tmp)
+    cfg["model"]["encoder"]["type"] = "conformer"
+    cfg["model"]["encoder"]["depthwise_conv_kernel_size"] = 5
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    model_dir = Path(cfg["model_dir"])
+    assert (model_dir / "latest.ckpt").is_symlink()
+    lines = (model_dir / "validations.txt").read_text().strip().split("\n")
+    assert any("wer" in ln for ln in lines)
+
+
+@needs_ref
 def test_s2t_transfer_partial_init():
     """load_encoder from a previous checkpoint (ST transfer semantics,
     joeynmt/training.py:294-309)."""
