@@ -103,6 +103,21 @@ def _block_repeat_ngrams(log_probs: jnp.ndarray, tokens: jnp.ndarray,
     return jnp.where(ban_mask & active, NEG_INF, log_probs)
 
 
+def _cast_params_to_compute_dtype(params, model: Seq2SeqModel):
+    """Cast float32 master params to the model's compute dtype inside jit.
+
+    flax keeps parameters in float32 and re-casts them at every use; inside
+    the decode while_loop that means re-reading 2x the bytes of every weight
+    matrix from HBM on each of the ~max_len steps. Casting once before the
+    loop is loop-invariant (XLA hoists it), halving per-step weight traffic.
+    float32 models are returned unchanged."""
+    dtype = getattr(model.decoder, "dtype", jnp.float32)
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+
 # -------------------------------------------------------------------- greedy
 @partial(jax.jit, static_argnames=(
     "model", "spec", "max_output_length", "min_output_length", "generate_unk",
@@ -136,6 +151,7 @@ def _transformer_greedy_jit(
     compute_softmax = (return_prob or repetition_penalty > 0
                        or no_repeat_ngram_size > 0 or has_encoder_input)
 
+    params = _cast_params_to_compute_dtype(params, model)
     cache = model.apply({"params": params}, encoder_output, l1, method="init_cache")
     ys = jnp.full((b, l1), spec.pad_index, jnp.int32).at[:, 0].set(spec.bos_index)
     yv = jnp.zeros((b, l1), jnp.float32)
@@ -392,6 +408,7 @@ def _beam_search_jit(
     def tile(x):
         return jnp.repeat(x, k, axis=0)
 
+    params = _cast_params_to_compute_dtype(params, model)
     enc = tile(encoder_output)  # (B*K, S, H)
     msk = tile(src_mask)
     cache = model.apply({"params": params}, enc, l1, method="init_cache")
