@@ -43,6 +43,11 @@ class TransformerDecoder(nn.Module):
     tied_softmax: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # opt-in int8 storage for the precomputed cross-attention K/V cache:
+    # halves the dominant HBM traffic of the decode loop (the cross cache is
+    # re-read every step); per-(head, channel) symmetric scales, dequantized
+    # in the attention fusion. No reference equivalent (serving optimization).
+    cache_cross_int8: bool = False
 
     @property
     def output_size(self) -> int:
@@ -127,11 +132,25 @@ class TransformerDecoder(nn.Module):
         b = encoder_output.shape[0]
         head_size = self.hidden_size // self.num_heads
         cache = {}
+
+        def quantize(x):  # (B, S, H, Dh) -> int8 values + per-channel scales
+            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+                            keepdims=True) / 127.0 + 1e-8
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+            return q.astype(jnp.int8), scale
+
         for i, layer in enumerate(self.layers):
             ck, cv = layer.precompute_cross_kv(encoder_output)
+            if self.cache_cross_int8:
+                ck_q, ck_s = quantize(ck)
+                cv_q, cv_s = quantize(cv)
+                cross = {"cross_k": ck_q, "cross_k_scale": ck_s,
+                         "cross_v": cv_q, "cross_v_scale": cv_s}
+            else:
+                cross = {"cross_k": ck.astype(cache_dtype),
+                         "cross_v": cv.astype(cache_dtype)}
             cache[f"layer_{i}"] = {
-                "cross_k": ck.astype(cache_dtype),
-                "cross_v": cv.astype(cache_dtype),
+                **cross,
                 "self_k": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
                 "self_v": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
             }

@@ -305,6 +305,8 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             ctc_layer=(task == "S2T"),  # joeynmt/model.py:452-454
             tied_softmax=tied_softmax,
             attn_impl=cfg.get("attention_impl", dec_cfg.get("attention_impl", "auto")),
+            cache_cross_int8=bool(cfg.get("cache_cross_int8",
+                                          dec_cfg.get("cache_cross_int8", False))),
             dtype=compute_dtype,
         )
     else:

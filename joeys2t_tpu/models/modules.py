@@ -374,7 +374,11 @@ class TransformerDecoderLayer(nn.Module):
         h1_residual = h1
         if self.layer_norm_position == "pre":
             h1 = self.dec_layer_norm(h1).astype(self.dtype)
-        h2, att = self.src_trg_att.step_cross(h1, cache["cross_k"], cache["cross_v"],
+        ck, cv = cache["cross_k"], cache["cross_v"]
+        if "cross_k_scale" in cache:  # int8 cache: dequantize in the fusion
+            ck = ck.astype(self.dtype) * cache["cross_k_scale"].astype(self.dtype)
+            cv = cv.astype(self.dtype) * cache["cross_v_scale"].astype(self.dtype)
+        h2, att = self.src_trg_att.step_cross(h1, ck, cv,
                                               src_mask, return_weights=return_attention)
         h2 = h2 + self.alpha * h1_residual
         if self.layer_norm_position == "post":

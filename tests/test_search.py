@@ -231,3 +231,44 @@ class TestRecurrentGreedy:
         assert att.shape == (b, 10, s)
         # pad/bos/lang tags never generated by the rnn path
         assert not np.isin(out, [spec.pad_index, spec.bos_index]).any()
+
+
+class TestInt8CrossCache:
+    """Opt-in int8 cross-KV cache (decoders.py init_cache): decode results
+    must track the float cache closely; serving optimization, no reference
+    equivalent."""
+
+    def test_matches_float_cache(self, mt_model):
+        model, spec, params = mt_model
+        cfg8 = {
+            "cache_cross_int8": True,
+            "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+            "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+        }
+        vocab = Vocabulary([f"t{i}" for i in range(VOCAB_SIZE - 4)],
+                           SpecialSymbols())
+        model_q, _ = build_model(cfg8, src_vocab=vocab, trg_vocab=vocab)
+        assert model_q.decoder.cache_cross_int8
+
+        src, enc, src_mask = encode(mt_model)
+        out_fp, sc_fp, _ = greedy(params, model, spec, enc, None, src_mask, 12,
+                                  return_prob="hyp")
+        out_q, sc_q, _ = greedy(params, model_q, spec, enc, None, src_mask, 12,
+                                return_prob="hyp")
+        np.testing.assert_array_equal(out_fp, out_q)
+        np.testing.assert_allclose(sc_fp, sc_q, atol=5e-3)
+
+        cache = model_q.apply({"params": params}, enc, 13, method="init_cache")
+        layer = cache["layer_0"]
+        assert layer["cross_k"].dtype == jnp.int8
+        cache_fp = model.apply({"params": params}, enc, 13, method="init_cache")
+        deq = (np.asarray(layer["cross_k"], np.float32)
+               * np.asarray(layer["cross_k_scale"]))
+        ref = np.asarray(cache_fp["layer_0"]["cross_k"])
+        assert np.abs(deq - ref).max() / (np.abs(ref).max() + 1e-9) < 0.01
