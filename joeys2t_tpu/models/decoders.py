@@ -48,14 +48,19 @@ class TransformerDecoder(nn.Module):
     # re-read every step); per-(head, channel) symmetric scales, dequantized
     # in the attention fusion. No reference equivalent (serving optimization).
     cache_cross_int8: bool = False
+    remat: bool = False  # jax.checkpoint per layer; see encoders.py
 
     @property
     def output_size(self) -> int:
         return self.vocab_size
 
     def setup(self):
+        # static_argnums counts the module as arg 0:
+        # (module, x, memory, src_mask, trg_mask, return_attention, det)
+        layer_cls = (nn.remat(TransformerDecoderLayer, static_argnums=(5, 6))
+                     if self.remat else TransformerDecoderLayer)
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 size=self.hidden_size, ff_size=self.ff_size, num_heads=self.num_heads,
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
@@ -109,10 +114,10 @@ class TransformerDecoder(nn.Module):
         att = None
         last = len(self.layers) - 1
         for i, layer in enumerate(self.layers):
+            # positional: return_attention/deterministic are static under remat
             x, layer_att = layer(
-                x=x, memory=encoder_output, src_mask=src_mask, trg_mask=full_trg_mask,
-                return_attention=(return_attention and i == last),
-                deterministic=deterministic)
+                x, encoder_output, src_mask, full_trg_mask,
+                (return_attention and i == last), deterministic)
             if layer_att is not None:
                 att = layer_att
 

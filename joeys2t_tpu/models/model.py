@@ -236,6 +236,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
         attn_impl = cfg.get("attention_impl", enc_cfg.get("attention_impl", "auto"))
         common = dict(
             attn_impl=attn_impl,
+            remat=bool(cfg.get("remat", enc_cfg.get("remat", False))),
             hidden_size=enc_cfg["hidden_size"],
             ff_size=enc_cfg["ff_size"],
             num_layers=enc_cfg["num_layers"],
@@ -307,6 +308,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             attn_impl=cfg.get("attention_impl", dec_cfg.get("attention_impl", "auto")),
             cache_cross_int8=bool(cfg.get("cache_cross_int8",
                                           dec_cfg.get("cache_cross_int8", False))),
+            remat=bool(cfg.get("remat", dec_cfg.get("remat", False))),
             dtype=compute_dtype,
         )
     else:

@@ -251,3 +251,57 @@ class TestTiedParamSharing:
         assert n_tables == 1
         # no separate decoder output projection
         assert "output_layer" not in params["decoder"]
+
+
+class TestRemat:
+    """model.remat: True wraps every transformer layer in jax.checkpoint
+    (activation rematerialization). Forward and gradients must be identical
+    to the non-remat model; only the backward memory/FLOPs trade changes."""
+
+    def test_remat_matches(self):
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        model0, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+        model1, _ = build_model(dict(cfg, remat=True), src_vocab=None,
+                                trg_vocab=vocab)
+        assert model1.encoder.remat and model1.decoder.remat
+
+        params, args = init_model(model0, spec, "S2T", src_len=21)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        p1, _ = init_model(model1, spec, "S2T", src_len=21)[0], None
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p1))
+
+        def loss(m):
+            def f(p, key):
+                logits, _, _ = m.apply(
+                    {"params": p}, src, trg_input, src_length, src_mask,
+                    trg_mask, deterministic=False, rngs={"dropout": key})
+                return jnp.sum(logits.astype(jnp.float32) ** 2) * 1e-4
+            return f
+
+        key = jax.random.PRNGKey(3)
+        l0, g0 = jax.value_and_grad(loss(model0))(params, key)
+        l1, g1 = jax.value_and_grad(loss(model1))(params, key)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_remat_conformer_trains(self):
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        cfg["encoder"]["type"] = "conformer"
+        cfg["encoder"]["depthwise_conv_kernel_size"] = 5
+        model, spec = build_model(dict(cfg, remat=True), src_vocab=None,
+                                  trg_vocab=vocab)
+        params, args = init_model(model, spec, "S2T", src_len=21)
+        src, trg_input, src_length, src_mask, trg_mask = args
+
+        def f(p):
+            logits, _, _ = model.apply({"params": p}, src, trg_input,
+                                       src_length, src_mask, trg_mask,
+                                       deterministic=True)
+            return jnp.sum(logits.astype(jnp.float32) ** 2) * 1e-4
+
+        g = jax.grad(f)(params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
