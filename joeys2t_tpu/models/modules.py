@@ -172,7 +172,12 @@ class MultiHeadedAttention(nn.Module):
             return True
         import jax
 
-        return jax.default_backend() == "tpu"  # 'auto'
+        # 'auto': single TPU chip only. Under GSPMD multi-chip sharding a
+        # pallas_call has no partitioning rule, so the SPMD partitioner
+        # would replicate (or reject) it; the XLA einsum path shards
+        # cleanly. Explicit attn_impl="flash" overrides (e.g. inside a
+        # user-managed shard_map).
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
 
     # ------------------------------------------------------------- decode ops
     def step_self(
