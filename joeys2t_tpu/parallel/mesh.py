@@ -102,9 +102,15 @@ def shard_batch_arrays(arrays: Dict[str, Optional[np.ndarray]],
     (Batch.pad_to_shape)."""
     out = {}
     dp = ctx.mesh.shape["data"]
+    multi_host = jax.process_count() > 1
     for k, v in arrays.items():
         if v is None:
             out[k] = None
+        elif multi_host:
+            # each process holds its own rows (ShardedSubsetSampler gives
+            # disjoint indices); assemble them into one global array
+            out[k] = jax.make_array_from_process_local_data(
+                ctx.data_sharding, v)
         else:
             assert v.shape[0] % dp == 0, (k, v.shape, dp)
             out[k] = jax.device_put(v, ctx.data_sharding)
