@@ -54,7 +54,14 @@ def extract_fbank_features(
     reach the same scale."""
     if output_path is not None and output_path.is_file() and not overwrite:
         return np.load(output_path.as_posix())
-    features = fbank_numpy(waveform, sample_rate=sample_rate, num_mel_bins=n_mel_bins)
+    # C++ extractor (joeys2t_tpu/native/fbank.cpp, ~2x numpy) with fallback
+    from joeys2t_tpu.native import fbank_native
+
+    features = fbank_native(waveform, sample_rate=sample_rate,
+                            num_mel_bins=n_mel_bins)
+    if features is None:
+        features = fbank_numpy(waveform, sample_rate=sample_rate,
+                               num_mel_bins=n_mel_bins)
     if output_path is not None:
         np.save(output_path.as_posix(), features)
         assert output_path.is_file(), output_path

@@ -112,3 +112,65 @@ def edit_distance_batch(pairs: Sequence) -> List[int]:
     c_out = (ctypes.c_int64 * len(pairs))()
     lib.edit_distance_batch(c_a, c_al, c_b, c_bl, len(pairs), c_out)
     return list(c_out)
+
+
+# ------------------------------------------------------------------ fbank
+_FBANK_LIB: Optional[ctypes.CDLL] = None
+_FBANK_FAILED = False
+
+
+def _load_fbank() -> Optional[ctypes.CDLL]:
+    """Compile libfbank.so if needed and load it."""
+    global _FBANK_LIB, _FBANK_FAILED
+    with _LIB_LOCK:
+        if _FBANK_LIB is not None or _FBANK_FAILED:
+            return _FBANK_LIB
+        src = _NATIVE_DIR / "fbank.cpp"
+        lib_path = _NATIVE_DIR / "libfbank.so"
+        try:
+            if (not lib_path.exists()
+                    or lib_path.stat().st_mtime < src.stat().st_mtime):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     src.as_posix(), "-o", lib_path.as_posix()],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(lib_path.as_posix())
+            lib.fbank.restype = ctypes.c_int64
+            lib.fbank.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_double, ctypes.c_int32, ctypes.c_double,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            lib.fbank_num_frames.restype = ctypes.c_int64
+            lib.fbank_num_frames.argtypes = [
+                ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double,
+            ]
+            _FBANK_LIB = lib
+        except Exception as e:  # pragma: no cover - toolchain missing
+            logger.warning("fbank C++ build failed (%s); using numpy fallback", e)
+            _FBANK_FAILED = True
+    return _FBANK_LIB
+
+
+def fbank_native(waveform, sample_rate: float = 16000.0,
+                 num_mel_bins: int = 80, frame_length_ms: float = 25.0,
+                 frame_shift_ms: float = 10.0):
+    """C++ kaldi fbank -> (num_frames, num_mel_bins) float32 array, or None
+    when the native library is unavailable (callers fall back to numpy)."""
+    import numpy as np
+
+    lib = _load_fbank()
+    if lib is None:
+        return None
+    wav = np.ascontiguousarray(waveform, dtype=np.float32).reshape(-1)
+    m = lib.fbank_num_frames(len(wav), sample_rate, frame_length_ms,
+                             frame_shift_ms)
+    out = np.empty((m, num_mel_bins), dtype=np.float32)
+    written = lib.fbank(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav),
+        sample_rate, num_mel_bins, frame_length_ms, frame_shift_ms,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m)
+    assert written == m, (written, m)
+    return out

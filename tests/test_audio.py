@@ -153,3 +153,31 @@ class TestDeviceFrontend:
                                      training=True,
                                      specaugment=(2, 27, 2, 40, 1.0))
         assert bool((np.asarray(f_eval) != np.asarray(f_train)).any())
+
+
+class TestNativeFbank:
+    """C++ fbank (native/fbank.cpp) must match the numpy implementation
+    bit-closely on random and real waveforms, including odd frame counts."""
+
+    def test_matches_numpy(self):
+        from joeys2t_tpu.native import fbank_native
+        from joeys2t_tpu.ops.fbank import fbank_numpy
+
+        if fbank_native(np.zeros(400, np.float32)) is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.RandomState(7)
+        for n in (400, 559, 16000, 16000 * 3 + 160):
+            wav = (rng.randn(n) * 12000).astype(np.float32)
+            a = fbank_numpy(wav)
+            b = fbank_native(wav)
+            assert a.shape == b.shape
+            if a.size:
+                np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_short_waveform_empty(self):
+        from joeys2t_tpu.native import fbank_native
+
+        out = fbank_native(np.zeros(100, np.float32))
+        if out is None:
+            pytest.skip("native toolchain unavailable")
+        assert out.shape == (0, 80)
