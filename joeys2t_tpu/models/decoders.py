@@ -49,6 +49,7 @@ class TransformerDecoder(nn.Module):
     # in the attention fusion. No reference equivalent (serving optimization).
     cache_cross_int8: bool = False
     remat: bool = False  # jax.checkpoint per layer; see encoders.py
+    sequence_parallel: bool = False  # see encoders.py / parallel/mesh.py
 
     @property
     def output_size(self) -> int:
@@ -114,6 +115,10 @@ class TransformerDecoder(nn.Module):
         att = None
         last = len(self.layers) - 1
         for i, layer in enumerate(self.layers):
+            if self.sequence_parallel:
+                from joeys2t_tpu.parallel.mesh import sp_constraint
+
+                x = sp_constraint(x)
             # positional: return_attention/deterministic are static under remat
             x, layer_att = layer(
                 x, encoder_output, src_mask, full_trg_mask,

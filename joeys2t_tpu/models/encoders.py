@@ -51,6 +51,10 @@ class TransformerEncoder(nn.Module):
     # trades ~30% more FLOPs for O(layers) less activation memory, enabling
     # larger batches / longer audio per chip. No reference equivalent.
     remat: bool = False
+    # Megatron-style sequence parallelism: shard the residual stream along
+    # the sequence dim over the `model` mesh axis (parallel/mesh.py
+    # sp_constraint). Only meaningful with tensor parallelism enabled.
+    sequence_parallel: bool = False
 
     @property
     def output_size(self) -> int:
@@ -102,6 +106,10 @@ class TransformerEncoder(nn.Module):
         x = x.astype(self.dtype)
 
         for layer in self.layers:
+            if self.sequence_parallel:
+                from joeys2t_tpu.parallel.mesh import sp_constraint
+
+                x = sp_constraint(x)
             # positional call: deterministic is a static argnum under remat
             x = layer(x, mask, deterministic)
         if self.layer_norm_position == "pre":
@@ -128,6 +136,7 @@ class ConformerEncoder(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False  # see TransformerEncoder.remat
+    sequence_parallel: bool = False  # see TransformerEncoder.sequence_parallel
 
     @property
     def output_size(self) -> int:
@@ -171,6 +180,10 @@ class ConformerEncoder(nn.Module):
         x = x.astype(self.dtype)
 
         for layer in self.layers:
+            if self.sequence_parallel:
+                from joeys2t_tpu.parallel.mesh import sp_constraint
+
+                x = sp_constraint(x)
             # positional call: deterministic is a static argnum under remat
             x = layer(x, mask, deterministic)
         return x, None, mask

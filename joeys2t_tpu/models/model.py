@@ -237,6 +237,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
         common = dict(
             attn_impl=attn_impl,
             remat=bool(cfg.get("remat", enc_cfg.get("remat", False))),
+            sequence_parallel=bool(cfg.get("sequence_parallel", False)),
             hidden_size=enc_cfg["hidden_size"],
             ff_size=enc_cfg["ff_size"],
             num_layers=enc_cfg["num_layers"],
@@ -309,6 +310,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             cache_cross_int8=bool(cfg.get("cache_cross_int8",
                                           dec_cfg.get("cache_cross_int8", False))),
             remat=bool(cfg.get("remat", dec_cfg.get("remat", False))),
+            sequence_parallel=bool(cfg.get("sequence_parallel", False)),
             dtype=compute_dtype,
         )
     else:

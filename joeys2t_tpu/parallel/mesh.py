@@ -115,3 +115,17 @@ def shard_batch_arrays(arrays: Dict[str, Optional[np.ndarray]],
             assert v.shape[0] % dp == 0, (k, v.shape, dp)
             out[k] = jax.device_put(v, ctx.data_sharding)
     return out
+
+
+def sp_constraint(x: jax.Array) -> jax.Array:
+    """Megatron-style sequence-parallel sharding constraint for the residual
+    stream: (B, S, H) -> batch over `data`, sequence over `model`. Applied at
+    transformer layer boundaries so LayerNorm/dropout/residual segments stay
+    sequence-sharded; GSPMD inserts the all-gather before attention/FFN and
+    the reduce-scatter after (the Megatron-LM SP recipe, arXiv:2205.05198).
+    No-op when no default mesh is installed or model parallelism is off."""
+    ctx = get_default_mesh()
+    if ctx is None or ctx.mesh.shape.get("model", 1) <= 1 or x.ndim != 3:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx.mesh, P("data", "model", None)))

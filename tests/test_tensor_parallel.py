@@ -64,6 +64,61 @@ def test_tp_matches_replicated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+def test_tp_with_sequence_parallel_matches():
+    """sequence_parallel=True adds residual-stream sharding constraints along
+    the sequence dim over `model` (Megatron SP); results must be unchanged."""
+    from joeys2t_tpu.parallel import set_default_mesh
+
+    vocab = Vocabulary([f"t{i}" for i in range(30)], SpecialSymbols())
+    cfg = {
+        "attention_impl": "xla",
+        "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "embeddings": {"embedding_dim": 16, "scale": True},
+                    "layer_norm": "pre"},
+        "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "embeddings": {"embedding_dim": 16, "scale": True},
+                    "layer_norm": "pre"},
+    }
+    model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+    model_sp, _ = build_model(dict(cfg, sequence_parallel=True),
+                              src_vocab=vocab, trg_vocab=vocab)
+    assert model_sp.encoder.sequence_parallel
+
+    b, s, t = 4, 8, 6  # seq dims divisible by tp=2
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.randint(4, 30, size=(b, s)), jnp.int32)
+    trg_input = jnp.asarray(rng.randint(4, 30, size=(b, t)), jnp.int32)
+    trg = jnp.asarray(rng.randint(4, 30, size=(b, t)), jnp.int32)
+    src_mask = jnp.ones((b, 1, s), bool)
+    trg_mask = jnp.ones((b, 1, t), bool)
+    src_len = jnp.full((b,), s, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_input,
+                        src_len, src_mask, trg_mask)["params"]
+
+    def loss(m):
+        def f(p):
+            logits, _, _ = m.apply({"params": p}, src, trg_input, src_len,
+                                   src_mask, trg_mask, deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(lp, trg[..., None], axis=-1))
+        return f
+
+    base_loss, base_grads = jax.value_and_grad(loss(model))(params)
+
+    ctx = get_mesh(n_devices=4, model_parallel=2)
+    set_default_mesh(ctx)
+    try:
+        tp_params = shard_params_tp(params, ctx)
+        sp_loss, sp_grads = jax.jit(jax.value_and_grad(loss(model_sp)))(tp_params)
+    finally:
+        set_default_mesh(None)
+    np.testing.assert_allclose(float(base_loss), float(sp_loss), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(base_grads), jax.tree.leaves(sp_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
 def test_tp_shardings_structure():
     model, spec = build()
     params = model.init(
