@@ -55,6 +55,9 @@ class TransformerEncoder(nn.Module):
     # the sequence dim over the `model` mesh axis (parallel/mesh.py
     # sp_constraint). Only meaningful with tensor parallelism enabled.
     sequence_parallel: bool = False
+    # > 0 swaps each layer's FFN for a top-1 routed mixture of experts
+    # (modules.py MoEFeedForward); shard experts over `model` for ep.
+    num_experts: int = 0
 
     @property
     def output_size(self) -> int:
@@ -70,7 +73,8 @@ class TransformerEncoder(nn.Module):
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
                 activation=self.activation, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"layer_{i}")
+                attn_impl=self.attn_impl, num_experts=self.num_experts,
+                name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.emb_dropout_layer = nn.Dropout(rate=self.emb_dropout)

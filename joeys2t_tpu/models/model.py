@@ -263,6 +263,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
         else:
             encoder = TransformerEncoder(
                 activation=enc_cfg.get("activation", "relu"),
+                num_experts=int(enc_cfg.get("num_experts", 0)),
                 subsample=subsample, **common)
     else:
         assert task == "MT", "RNN model not supported for s2t task. use transformer."

@@ -254,8 +254,74 @@ class PositionwiseFeedForward(nn.Module):
         return x
 
 
+class MoEFeedForward(nn.Module):
+    """Mixture-of-experts position-wise FFN (switch-style top-1 routing).
+
+    Capability beyond the reference (which has no MoE): E expert FFNs with
+    a learned router; each token is processed by its argmax expert, scaled
+    by the router probability (Switch Transformer, arXiv:2101.03961). The
+    expert weight tensors carry a leading expert dim, so sharding them over
+    the `model` mesh axis (parallel/tp.py) yields expert parallelism: each
+    device computes its local experts, and the expert-contracting einsum
+    turns into a GSPMD all-reduce. Dense dispatch (every expert sees every
+    token, masked) — compiler-friendly static shapes instead of sort/scatter.
+    Residual/LayerNorm placement mirrors PositionwiseFeedForward."""
+
+    input_size: int
+    ff_size: int
+    num_experts: int
+    dropout: float = 0.1
+    alpha: float = 1.0
+    layer_norm_position: str = "post"
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.layer_norm_position in {"pre", "post"}
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                       name="layer_norm")
+        self.router = nn.Dense(self.num_experts, use_bias=False,
+                               dtype=jnp.float32, name="router")
+        init = nn.initializers.lecun_normal()
+        e, h, f = self.num_experts, self.input_size, self.ff_size
+        self.w1 = self.param("w1", init, (e, h, f))
+        self.b1 = self.param("b1", nn.initializers.zeros, (e, f))
+        self.w2 = self.param("w2", init, (e, f, h))
+        self.b2 = self.param("b2", nn.initializers.zeros, (e, h))
+        self.dropout1 = nn.Dropout(rate=self.dropout)
+        self.dropout2 = nn.Dropout(rate=self.dropout)
+        self.act = build_activation(self.activation)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        if self.layer_norm_position == "pre":
+            x = self.layer_norm(x).astype(self.dtype)
+        gates = jax.nn.softmax(self.router(x.astype(jnp.float32)), axis=-1)
+        top1 = jnp.argmax(gates, axis=-1)  # (B, T)
+        # (B, T, E): router prob of the selected expert, zero elsewhere
+        dispatch = (jax.nn.one_hot(top1, self.num_experts, dtype=jnp.float32)
+                    * jnp.max(gates, axis=-1, keepdims=True)).astype(self.dtype)
+
+        w1 = self.w1.astype(self.dtype)
+        w2 = self.w2.astype(self.dtype)
+        h = jnp.einsum("bth,ehf->btef", x, w1) + self.b1.astype(self.dtype)
+        h = self.act(h)
+        h = self.dropout1(h, deterministic=deterministic)
+        y = jnp.einsum("btef,efh->bteh", h, w2) + self.b2.astype(self.dtype)
+        # contract the expert dim -> with expert-sharded weights GSPMD
+        # inserts the expert-parallel all-reduce here
+        y = jnp.einsum("bteh,bte->bth", y, dispatch)
+        y = self.dropout2(y, deterministic=deterministic)
+        y = y + self.alpha * residual
+        if self.layer_norm_position == "post":
+            y = self.layer_norm(y).astype(self.dtype)
+        return y
+
+
 class TransformerEncoderLayer(nn.Module):
-    """Self-attention + FFN (joeynmt/transformer_layers.py:216-289)."""
+    """Self-attention + FFN (joeynmt/transformer_layers.py:216-289).
+
+    ``num_experts > 0`` swaps the FFN for a MoEFeedForward (top-1 routed)."""
 
     size: int
     ff_size: int
@@ -265,6 +331,7 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_position: str = "post"
     activation: str = "relu"
     dtype: Any = jnp.float32
+    num_experts: int = 0
     attn_impl: str = "auto"
 
     def setup(self):
@@ -273,10 +340,18 @@ class TransformerEncoderLayer(nn.Module):
         self.src_src_att = MultiHeadedAttention(
             num_heads=self.num_heads, size=self.size, dropout=self.dropout,
             dtype=self.dtype, attn_impl=self.attn_impl, name="src_src_att")
-        self.feed_forward = PositionwiseFeedForward(
-            input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
-            alpha=self.alpha, layer_norm_position=self.layer_norm_position,
-            activation=self.activation, dtype=self.dtype, name="feed_forward")
+        if self.num_experts > 0:
+            self.feed_forward = MoEFeedForward(
+                input_size=self.size, ff_size=self.ff_size,
+                num_experts=self.num_experts, dropout=self.dropout,
+                alpha=self.alpha, layer_norm_position=self.layer_norm_position,
+                activation=self.activation, dtype=self.dtype,
+                name="feed_forward")
+        else:
+            self.feed_forward = PositionwiseFeedForward(
+                input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
+                alpha=self.alpha, layer_norm_position=self.layer_norm_position,
+                activation=self.activation, dtype=self.dtype, name="feed_forward")
         self.dropout_layer = nn.Dropout(rate=self.dropout)
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],

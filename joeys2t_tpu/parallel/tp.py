@@ -34,6 +34,10 @@ def _spec_for(path_names, leaf) -> P:
     """PartitionSpec for one param leaf based on its module path."""
     parent = path_names[-2] if len(path_names) >= 2 else ""
     name = path_names[-1]
+    # MoE expert weights (modules.py MoEFeedForward): shard the leading
+    # expert dim -> expert parallelism; router stays replicated
+    if name in ("w1", "b1", "w2", "b2") and "feed_forward" in path_names:
+        return P(*(("model",) + (None,) * (leaf.ndim - 1)))
     # attention output_layer is row-sharded; the decoder's vocab output_layer
     # (direct child of decoder) stays replicated (vocab dim is tiny vs ICI cost)
     in_attention = any("att" in p for p in path_names)
