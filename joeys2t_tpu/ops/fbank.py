@@ -16,6 +16,7 @@ stored golden values from real LibriSpeech wavs (tests/test_audio.py).
 """
 import math
 from functools import lru_cache, partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +129,15 @@ def fbank_numpy(
     return np.log(np.maximum(mel_energies, EPSILON)).astype(np.float32)
 
 
+@lru_cache(maxsize=4)
+def _dft_matrices(padded: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT cos/sin matrices (padded, padded//2+1) for the MXU path."""
+    n = np.arange(padded)[:, None]
+    k = np.arange(padded // 2 + 1)[None, :]
+    ang = -2.0 * math.pi * n * k / padded
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "num_mel_bins", "frame_length_ms",
                                    "frame_shift_ms"))
 def fbank_jax(
@@ -155,8 +165,17 @@ def fbank_jax(
     frames = frames - 0.97 * prev
     frames = frames * jnp.asarray(povey_window(window_size), jnp.float32)[None, :]
 
-    frames = jnp.pad(frames, ((0, 0), (0, padded - window_size)))
-    spectrum = jnp.abs(jnp.fft.rfft(frames, axis=1))**2
+    # power spectrum via an explicit real-DFT matmul: TPUs have no FFT unit
+    # (XLA lowers fft to a slow expansion), but (m, padded) @ (padded, bins)
+    # rides the MXU. padded is 512 for 16 kHz audio, so the dense DFT is
+    # only ~2x the flops of an ideal FFT and far faster in practice.
+    cos_m, sin_m = _dft_matrices(padded)
+    if padded > window_size:
+        frames = jnp.pad(frames, ((0, 0), (0, padded - window_size)))
+    hi = jax.lax.Precision.HIGHEST  # keep float32 accuracy on the MXU
+    re = jnp.matmul(frames, jnp.asarray(cos_m), precision=hi)
+    im = jnp.matmul(frames, jnp.asarray(sin_m), precision=hi)
+    spectrum = re * re + im * im
 
     banks = jnp.asarray(mel_banks(num_mel_bins, padded, float(sample_rate)))
     mel_energies = spectrum @ banks.T
