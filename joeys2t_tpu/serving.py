@@ -1,0 +1,122 @@
+# coding: utf-8
+"""
+Raw-waveform ASR serving: wav in -> text out with the entire compute path
+(fbank, CMVN, SpecAugment-off, encoder, KV-cached greedy/beam decode) on
+device. This is the deployment face of the fused frontend
+(ops/frontend.py); the reference has no equivalent — its inference always
+round-trips features through the host (joeynmt/helpers_for_audio.py:100-127).
+
+Usage:
+    from joeys2t_tpu.zoo import load
+    from joeys2t_tpu.serving import Transcriber
+    hub = load("local", model_dir="models/librispeech100h")
+    asr = Transcriber.from_hub(hub)
+    texts = asr.transcribe(["a.wav", "b.wav"])
+"""
+import bisect
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from joeys2t_tpu.data.audio_io import read_wav
+from joeys2t_tpu.ops.frontend import device_frontend
+from joeys2t_tpu.search import transformer_greedy
+from joeys2t_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+# waveform-sample buckets: ~1s steps up to 30s at 16kHz, then exact length
+_WAVE_BUCKETS = [16000 * i for i in (1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 20, 30)]
+
+
+def _bucket_samples(n: int) -> int:
+    i = bisect.bisect_left(_WAVE_BUCKETS, n)
+    return _WAVE_BUCKETS[i] if i < len(_WAVE_BUCKETS) else n
+
+
+class Transcriber:
+    """Batched wav -> text with on-device feature extraction."""
+
+    def __init__(self, params, model, spec, trg_vocab, tokenizer=None,
+                 norm_means: bool = True, norm_vars: bool = True,
+                 sample_rate: float = 16000.0, num_mel_bins: int = 80):
+        self.params = params
+        self.model = model
+        self.spec = spec
+        self.trg_vocab = trg_vocab
+        self.tokenizer = tokenizer  # trg tokenizer for post_process (optional)
+        self.norm_means = norm_means
+        self.norm_vars = norm_vars
+        self.sample_rate = sample_rate
+        self.num_mel_bins = num_mel_bins
+
+    @classmethod
+    def from_hub(cls, hub) -> "Transcriber":
+        """Build from a TranslatorHubInterface (zoo.load / load_model_dir)."""
+        assert hub.args.task == "S2T", "Transcriber requires an S2T model"
+        data = hub.dataset
+        sp = data.tokenizer.get(data.src_lang)
+        cmvn = getattr(sp, "cmvn", None)
+        return cls(
+            params=hub.params, model=hub.model, spec=hub.spec,
+            trg_vocab=data._trg_vocab,
+            tokenizer=data.tokenizer.get(data.trg_lang),
+            norm_means=bool(getattr(cmvn, "norm_means", True)),
+            norm_vars=bool(getattr(cmvn, "norm_vars", True)),
+        )
+
+    def transcribe(self, wavs: Sequence[Union[str, Path, np.ndarray]],
+                   max_output_length: Optional[int] = None,
+                   **generate_kwargs) -> List[str]:
+        """:param wavs: wav file paths or int16-scaled float waveforms
+        :return: one transcript per input"""
+        import jax
+        import jax.numpy as jnp
+
+        waves = []
+        for w in wavs:
+            if isinstance(w, (str, Path)):
+                wave, sr = read_wav(w)
+                assert sr == self.sample_rate, (sr, self.sample_rate)
+            else:
+                wave = np.asarray(w, np.float32)
+            waves.append(wave)
+
+        n_pad = _bucket_samples(max(len(w) for w in waves))
+        batch = np.zeros((len(waves), n_pad), np.float32)
+        lengths = np.zeros((len(waves),), np.int32)
+        for i, w in enumerate(waves):
+            batch[i, :len(w)] = w[:n_pad]
+            lengths[i] = min(len(w), n_pad)
+
+        feats, frame_lengths = device_frontend(
+            jnp.asarray(batch), jnp.asarray(lengths),
+            sample_rate=self.sample_rate, num_mel_bins=self.num_mel_bins,
+            norm_means=self.norm_means, norm_vars=self.norm_vars,
+            training=False)
+        # zero padded frames so conv subsampling sees silence, then encode
+        t = feats.shape[1]
+        valid = jnp.arange(t)[None, :] < frame_lengths[:, None]
+        feats = jnp.where(valid[:, :, None], feats, 0.0)
+
+        enc, _, enc_mask = self.model.apply(
+            {"params": self.params}, feats, frame_lengths, None,
+            method="encode")
+        if max_output_length is None:
+            max_output_length = int(enc.shape[1] * 1.5) + 8
+        out, _, _ = transformer_greedy(
+            self.params, self.model, self.spec, enc, enc_mask,
+            max_output_length, **generate_kwargs)
+
+        sents = self.trg_vocab.arrays_to_sentences(out, cut_at_eos=True)
+        texts = []
+        for tokens in sents:
+            tokens = [t for t in tokens
+                      if t not in (self.trg_vocab.specials[1],
+                                   self.trg_vocab.specials[3])]
+            if self.tokenizer is not None:
+                texts.append(self.tokenizer.post_process(tokens))
+            else:
+                texts.append(" ".join(tokens))
+        return texts
