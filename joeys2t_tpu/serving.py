@@ -51,6 +51,20 @@ class Transcriber:
         self.sample_rate = sample_rate
         self.num_mel_bins = num_mel_bins
 
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _encode(params, feats, frame_lengths):
+            # zero padded frames so conv subsampling sees silence
+            t = feats.shape[1]
+            valid = jnp.arange(t)[None, :] < frame_lengths[:, None]
+            feats = jnp.where(valid[:, :, None], feats, 0.0)
+            return self.model.apply({"params": params}, feats, frame_lengths,
+                                    None, method="encode")
+
+        self._encode = _encode  # compiles once per waveform bucket
+
     @classmethod
     def from_hub(cls, hub) -> "Transcriber":
         """Build from a TranslatorHubInterface (zoo.load / load_model_dir)."""
@@ -89,20 +103,25 @@ class Transcriber:
         for i, w in enumerate(waves):
             batch[i, :len(w)] = w[:n_pad]
             lengths[i] = min(len(w), n_pad)
+        return self.transcribe_batch(batch, lengths,
+                                     max_output_length=max_output_length,
+                                     **generate_kwargs)
+
+    def transcribe_batch(self, waveforms, lengths,
+                         max_output_length: Optional[int] = None,
+                         **generate_kwargs) -> List[str]:
+        """Batched fast path: ``waveforms`` is a (B, N) float32 array padded
+        to a common length (host or already on device — passing a device
+        array skips the host->device waveform upload), ``lengths`` the valid
+        samples per row."""
+        import jax.numpy as jnp
 
         feats, frame_lengths = device_frontend(
-            jnp.asarray(batch), jnp.asarray(lengths),
+            jnp.asarray(waveforms), jnp.asarray(lengths),
             sample_rate=self.sample_rate, num_mel_bins=self.num_mel_bins,
             norm_means=self.norm_means, norm_vars=self.norm_vars,
             training=False)
-        # zero padded frames so conv subsampling sees silence, then encode
-        t = feats.shape[1]
-        valid = jnp.arange(t)[None, :] < frame_lengths[:, None]
-        feats = jnp.where(valid[:, :, None], feats, 0.0)
-
-        enc, _, enc_mask = self.model.apply(
-            {"params": self.params}, feats, frame_lengths, None,
-            method="encode")
+        enc, _, enc_mask = self._encode(self.params, feats, frame_lengths)
         if max_output_length is None:
             max_output_length = int(enc.shape[1] * 1.5) + 8
         out, _, _ = transformer_greedy(
