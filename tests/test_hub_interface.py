@@ -84,3 +84,36 @@ def test_score_ref(trained_model_dir):
     assert len(preds) == 1
     assert preds[0].translation == "7 5 3"
     assert preds[0].tokens is not None
+
+
+def test_cli_translate_stdin(trained_model_dir):
+    """Drive the real CLI surface: `python -m joeys2t_tpu translate` with
+    piped stdin (joeynmt/prediction.py:638-735 semantics)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load((trained_model_dir / "config.yaml").read_text())
+    cfg["testing"]["load_model"] = (
+        (trained_model_dir / "latest.ckpt").resolve().as_posix())
+    cfg_path = trained_model_dir / "translate_config.yaml"
+    with cfg_path.open("w") as f:
+        _yaml.safe_dump(cfg, f)
+
+    out_path = trained_model_dir / "stdin.hyps"
+    env = {**os.environ,
+           "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    proc = subprocess.run(
+        [_sys.executable, "-m", "joeys2t_tpu", "translate",
+         cfg_path.as_posix(), "-o", out_path.as_posix()],
+        input="3 5 7\n2 4\n", text=True, capture_output=True, env=env,
+        cwd=REPO.as_posix(), timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    hyps = out_path.read_text().strip().split("\n")
+    assert len(hyps) == 2
+    # one epoch on the reverse task decodes digits, not garbage
+    assert all(all(tok.isdigit() for tok in h.split()) for h in hyps if h)
