@@ -9,7 +9,6 @@ joeys2t_tpu.zoo resolve local snapshot dirs or download from a configured
 mirror (joeynmt/hubconf.py:41-107 downloads from the Heidelberg server; in
 air-gapped environments pass a local dir).
 """
-import dataclasses
 from pathlib import Path
 from typing import List, NamedTuple, Optional, Union
 

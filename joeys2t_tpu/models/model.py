@@ -9,7 +9,7 @@ jit/pjit no such funnel is needed: ``Seq2SeqModel`` exposes pure methods
 train/eval steps close over via ``model.apply(..., method=...)``.
 """
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

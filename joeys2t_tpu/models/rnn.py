@@ -8,7 +8,7 @@ The reference uses cuDNN GRU/LSTM; here the encoder recurrence is a lifted
 masked state updates standing in for pack_padded_sequence. Bahdanau (MLP) and
 Luong (bilinear) attention per joeynmt/attention.py:26-226.
 """
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ mirroring joeynmt/builders.py:253-485 incl. state_dict round-trip) compute the
 rate and the trainer writes it into the state before each update. Scheduler
 step points {step, epoch, validation} are preserved.
 """
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import optax
 

@@ -13,7 +13,7 @@ Batches are sharded along axis 0 over the `data` axis; parameters are
 replicated (dp) or sharded over `model` (tp-ready).
 """
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ import math
 import time
 from functools import partial
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,14 +22,13 @@ import optax
 
 from joeys2t_tpu.checkpoints import CheckpointManager, load_checkpoint, partial_load
 from joeys2t_tpu.config import (
-    BaseConfig,
     TestConfig,
     TrainConfig,
     log_config,
     parse_global_args,
     set_validation_args,
 )
-from joeys2t_tpu.data.batch import Batch, round_up_to_bucket
+from joeys2t_tpu.data.batch import Batch
 from joeys2t_tpu.helpers import write_list_to_file
 from joeys2t_tpu.optim import (
     build_gradient_clipper,
