@@ -69,6 +69,9 @@ def store_attention_plots(
         src = sources[i]
         trg = targets[i]
         attention_scores = np.asarray(attentions[i]).T
+        # decode buffers are padded to static shapes (bucketed src frames /
+        # max decode steps); trim to the labeled lengths before plotting
+        attention_scores = attention_scores[:len(src), :len(trg)]
         try:
             plot_heatmap(scores=attention_scores, column_labels=trg,
                          row_labels=src, output_path=plot_file, dpi=100)

@@ -95,3 +95,29 @@ def test_resume_from_checkpoint(reverse_env):
     # stats were restored and training continued; with epochs=1 already done,
     # the step counter must not go backwards
     assert resumed["stats_state"]["steps"] >= prev_steps
+
+
+def test_cli_test_mode_save_attention_and_scores(reverse_env):
+    """`test` mode with -a/-s: attention heatmaps and token scores must be
+    written alongside the hypotheses (joeynmt/prediction.py:560-615)."""
+    import copy
+
+    from joeys2t_tpu.prediction import test as run_test
+
+    tmp, cfg = reverse_env
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    model_dir = Path(cfg["model_dir"])
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["testing"]["load_model"] = (model_dir / "latest.ckpt").resolve().as_posix()
+    cfg2["testing"]["beam_size"] = 1  # greedy => attention available
+    cfg2["testing"]["return_prob"] = "hyp"
+    out_prefix = (model_dir / "attn_run").as_posix()
+    run_test(cfg2, output_path=out_prefix, save_attention=True, save_scores=True)
+
+    assert (model_dir / "attn_run.dev").is_file(), list(model_dir.iterdir())
+    pngs = list(model_dir.glob("attn_run.dev.att*"))
+    assert pngs, "no attention plots written"
+    assert (model_dir / "attn_run.dev.scores").is_file()
+    assert (model_dir / "attn_run.dev.tokens").is_file()
