@@ -716,6 +716,14 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
 
 
 # -------------------------------------------------------------------- search
+@partial(jax.jit, static_argnames=("model",))
+def _encode_jit(params, src, src_length, src_mask, model: Seq2SeqModel):
+    """Jitted encode for the search entry: one compile per shape bucket.
+    (Eager module application is pathologically slow on remote devices.)"""
+    return model.apply({"params": params}, src, src_length, src_mask,
+                       method="encode")
+
+
 def search(params, model, spec, batch: Batch, max_output_length: int,
            beam_size: int, beam_alpha: float, n_best: int = 1, **kwargs):
     """Entry point (joeynmt/search.py:828-912): encode once, adapt max length,
@@ -728,8 +736,8 @@ def search(params, model, spec, batch: Batch, max_output_length: int,
     src_length = maybe_shard_batch(jnp.asarray(batch.src_length))
     src_mask_in = None if batch.src_mask is None else maybe_shard_batch(
         jnp.asarray(batch.src_mask))
-    encoder_output, encoder_hidden, src_mask = model.apply(
-        {"params": params}, src, src_length, src_mask_in, method="encode")
+    encoder_output, encoder_hidden, src_mask = _encode_jit(
+        params, src, src_length, src_mask_in, model=model)
     if batch.src_mask is not None:
         src_mask = jnp.asarray(batch.src_mask)
     assert src_mask is not None
