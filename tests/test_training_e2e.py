@@ -105,6 +105,8 @@ def test_cli_test_mode_save_attention_and_scores(reverse_env):
     from joeys2t_tpu.prediction import test as run_test
 
     tmp, cfg = reverse_env
+    cfg = copy.deepcopy(cfg)
+    cfg["model_dir"] = (tmp / "model_attn").as_posix()  # fixture is shared
     make_model_dir(Path(cfg["model_dir"]))
     train(cfg, skip_test=True)
     model_dir = Path(cfg["model_dir"])
