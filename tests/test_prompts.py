@@ -137,3 +137,38 @@ class TestHuggingfaceDataset:
                              pad_index=1, eos_index=3)
         batch = next(iter(it))
         assert batch.nseqs == 4
+
+
+@needs_ref
+class TestPromptTruncation:
+    def test_long_prompt_truncated_keeps_lang_tag(self):
+        """When prompt + item exceed max_length, the prompt is cut from the
+        left but a leading language tag is preserved
+        (joeynmt/datasets.py:121-133)."""
+        cfg = prompt_cfg()
+        cfg["src"]["max_length"] = 12
+        cfg["trg"]["max_length"] = 12
+        from joeys2t_tpu.data.loader import load_data
+
+        _, _, _, dev, _ = load_data(cfg, datasets=["dev"], task="MT")
+        cfg_wide = prompt_cfg()
+        _, _, _, dev_wide, _ = load_data(cfg_wide, datasets=["dev"], task="MT")
+
+        found_truncated = False
+        for i in range(len(dev)):
+            src = dev.get_item(i, dev.src_lang, is_train=False)
+            wide = dev_wide.get_item(i, dev_wide.src_lang, is_train=False)
+            if "<sep>" not in src:
+                continue
+            sep, sep_wide = src.index("<sep>"), wide.index("<sep>")
+            item_len = len(src) - sep - 1
+            # prompt bounded so prompt + sep + item <= max_length (when the
+            # item fits); only the prompt is cut, from the left
+            if item_len + 1 < 12:
+                assert sep <= 12 - item_len - 1, (sep, src)
+            assert src[sep + 1:] == wide[sep_wide + 1:]  # item untouched
+            if sep < sep_wide:
+                found_truncated = True
+                if wide[0] in ("<de>", "<en>"):  # lang tag survives the cut
+                    assert src[0] == wide[0]
+        assert found_truncated
