@@ -192,10 +192,56 @@ def bench_train_step(batch=16, seq=1000, trg_len=48):
                       "audio_sec_per_sec": round(audio_sec / t, 1)}))
 
 
+def bench_frontend(batch=32, seconds=10):
+    """Fused on-device wav -> fbank -> CMVN -> SpecAugment."""
+    from joeys2t_tpu.ops.frontend import device_frontend
+
+    n = 16000 * seconds
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray((rng.randn(batch, n) * 8000).astype(np.float32))
+    lens = jnp.full((batch,), n, jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    feats, fl = device_frontend(wavs, lens, key, training=True)
+    np.asarray(fl)
+    t = timeit(lambda: device_frontend(wavs, lens, key, training=True)[0][0, 0, 0],
+               iters=20, warmup=2)
+    print(json.dumps({"bench": "device_frontend", "batch": batch,
+                      "ms": round(t * 1e3, 2),
+                      "audio_sec_per_sec": round(batch * seconds / t, 0)}))
+
+
+def bench_serving(batch=32, seconds=10):
+    """wav -> text end to end (device-resident waveforms)."""
+    from __graft_entry__ import _build
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.serving import Transcriber
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    model, spec = _build()
+    vocab = Vocabulary([f"tok{i}" for i in range(5000)], SpecialSymbols())
+    n = 16000 * seconds
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(batch, seconds * 100, 80).astype(np.float32))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, src, jnp.ones((batch, 8), jnp.int32),
+        jnp.full((batch,), seconds * 100, jnp.int32), None,
+        jnp.ones((batch, 1, 8), bool))["params"]
+    asr = Transcriber(params=params, model=model, spec=spec, trg_vocab=vocab)
+    wavs = jnp.asarray((rng.randn(batch, n) * 8000).astype(np.float32))
+    lens = np.full((batch,), n, np.int32)
+    asr.transcribe_batch(wavs, lens, max_output_length=96)
+    t = timeit(lambda: asr.transcribe_batch(wavs, lens, max_output_length=96),
+               iters=5, warmup=1)
+    print(json.dumps({"bench": "serving_wav_to_text", "batch": batch,
+                      "ms": round(t * 1e3, 1),
+                      "rtfx": round(batch * seconds / t, 1)}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench", nargs="*", default=["attention", "greedy", "beam",
-                                                   "train"])
+                                                   "train", "frontend", "serving"])
     args = ap.parse_args()
     print(json.dumps({"device": str(jax.devices()[0])}))
     if "attention" in args.bench:
@@ -206,3 +252,7 @@ if __name__ == "__main__":
         bench_beam_latency()
     if "train" in args.bench:
         bench_train_step()
+    if "frontend" in args.bench:
+        bench_frontend()
+    if "serving" in args.bench:
+        bench_serving()
