@@ -91,3 +91,35 @@ class TestCheckpointAveraging:
         save_checkpoint(tmp_path / "avg.ckpt", avg)
         loaded = load_checkpoint(tmp_path / "avg.ckpt")
         np.testing.assert_allclose(loaded["model_state"]["layer"]["kernel"], 3.0)
+
+
+class TestSacrebleuOptions:
+    """Config options pass through to sacrebleu (joeynmt/metrics.py:16-62);
+    mirrors the reference's chrf whitespace and tokenize tests."""
+
+    def test_chrf_whitespace_flag_changes_score(self):
+        hyps = ["dies ist ein test"]
+        refs = ["das ist ein test !"]
+        without = chrf(hyps, refs, whitespace=False)
+        with_ws = chrf(hyps, refs, whitespace=True)
+        assert 0.0 < without <= 1.0 and 0.0 < with_ws <= 1.0
+        assert without != with_ws
+        # matches calling sacrebleu directly
+        from sacrebleu.metrics import CHRF
+        direct = CHRF(whitespace=True).corpus_score(hyps, [refs]).score / 100
+        assert abs(with_ws - direct) < 1e-9
+
+    def test_bleu_tokenize_option(self):
+        hyps = ["this is a test."]
+        refs = ["this is the test."]
+        b_13a = bleu(hyps, refs, tokenize="13a")
+        b_none = bleu(hyps, refs, tokenize="none")
+        assert b_13a > 0
+        # "none" keeps the period attached -> different n-gram stats
+        assert b_13a != b_none
+
+    def test_unknown_keys_ignored(self):
+        # the factory filters to valid sacrebleu kwargs (lowercase etc. pass,
+        # junk keys are dropped instead of raising)
+        assert bleu(["a b c d e"], ["a b c d e"],
+                    bogus_option=1, lowercase=True) > 0
