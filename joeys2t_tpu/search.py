@@ -509,15 +509,14 @@ def _beam_search_jit(
         alive_seq = jax.lax.dynamic_update_slice(
             alive_seq, topk_token.reshape(-1, 1), (0, step + 1))
         topk_log_probs = new_topk_log_probs
-        # only the self-attention ring buffers need reordering: cross K/V are
-        # tiled identically across a batch element's beams and never written,
-        # and `select` permutes only within beam groups — skip gathering them
+        # only the self-attention ring buffers need reordering: cross K/V
+        # (and their int8 scales, when present) are tiled identically across
+        # a batch element's beams and never written, and `select` permutes
+        # only within beam groups — skip gathering them
         cache = {
             layer: {
-                "cross_k": entries["cross_k"],
-                "cross_v": entries["cross_v"],
-                "self_k": entries["self_k"][select],
-                "self_v": entries["self_v"][select],
+                key: (value[select] if key in ("self_k", "self_v") else value)
+                for key, value in entries.items()
             }
             for layer, entries in new_cache.items()
         }

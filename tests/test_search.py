@@ -272,3 +272,33 @@ class TestInt8CrossCache:
                * np.asarray(layer["cross_k_scale"]))
         ref = np.asarray(cache_fp["layer_0"]["cross_k"])
         assert np.abs(deq - ref).max() / (np.abs(ref).max() + 1e-9) < 0.01
+
+
+    def test_beam_search_with_int8_cache(self, mt_model):
+        """Beam search must carry the int8 cache (incl. scale entries)
+        through the while_loop and produce the same tokens."""
+        model, spec, params = mt_model
+        vocab = Vocabulary([f"t{i}" for i in range(VOCAB_SIZE - 4)],
+                           SpecialSymbols())
+        cfg8 = {
+            "cache_cross_int8": True,
+            "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+            "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+        }
+        model_q, _ = build_model(cfg8, src_vocab=vocab, trg_vocab=vocab)
+        src, enc, src_mask = encode(mt_model)
+        out_fp, sc_fp, _ = beam_search(params, model, spec, enc, None,
+                                       src_mask, 3, 10, 1.0, return_prob="hyp")
+        out_q, sc_q, _ = beam_search(params, model_q, spec, enc, None,
+                                     src_mask, 3, 10, 1.0, return_prob="hyp")
+        # an untrained model has near-tie beams, so the ~0.3% quantization
+        # perturbation may legally reorder them; compare order-insensitively
+        assert out_q.shape == out_fp.shape
+        np.testing.assert_allclose(np.sort(sc_fp.ravel()),
+                                   np.sort(sc_q.ravel()), atol=5e-3)
