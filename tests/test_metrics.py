@@ -2,6 +2,7 @@
 """Metric tests (mirroring test/unit/test_metric.py) incl. the C++ edit
 distance extension."""
 import numpy as np
+import pytest
 
 from joeys2t_tpu.metrics import bleu, chrf, sequence_accuracy, token_accuracy, wer
 from joeys2t_tpu.native import edit_distance, edit_distance_batch
@@ -123,3 +124,37 @@ class TestSacrebleuOptions:
         # junk keys are dropped instead of raising)
         assert bleu(["a b c d e"], ["a b c d e"],
                     bogus_option=1, lowercase=True) > 0
+
+
+class TestEvaluateStandalone:
+    """evaluate() computes metrics over already-decoded hypotheses
+    (joeynmt/prediction.py:384-439)."""
+
+    def test_metrics_and_nbest_selection(self):
+        from types import SimpleNamespace
+
+        from joeys2t_tpu.config import TestConfig
+        from joeys2t_tpu.prediction import evaluate
+
+        class _Tok:
+            def post_process(self, t, generate_unk=True):
+                return t if isinstance(t, str) else " ".join(t)
+
+        data = SimpleNamespace(trg_lang="trg", tokenizer={"trg": _Tok()},
+                               trg=["a b c", "d e f"])
+        args = TestConfig(load_model=None, batch_size=2, batch_type="sentence",
+                          max_output_length=-1, min_output_length=1,
+                          eval_metrics=["bleu", "chrf", "token_accuracy",
+                                        "sequence_accuracy", "wer"],
+                          sacrebleu_cfg={"lowercase": True}, beam_size=2,
+                          beam_alpha=1.0, n_best=2, return_attention=False,
+                          return_prob="none", generate_unk=True,
+                          repetition_penalty=-1, no_repeat_ngram_size=-1)
+        # n_best=2: rows alternate best/second-best; evaluate picks every 2nd
+        hyps = ["a b c", "x x x", "d e z", "y y y"]
+        scores, refs = evaluate({}, hyps, data, args)
+        assert refs == ["a b c", "d e f"]
+        assert scores["sequence_accuracy"] == 50.0
+        assert abs(scores["token_accuracy"] - 100.0 * 5 / 6) < 1e-9
+        assert scores["wer"] == pytest.approx(100.0 * 1 / 6)
+        assert 0 <= scores["chrf"] <= 1 and scores["bleu"] >= 0
