@@ -123,3 +123,20 @@ def test_cli_test_mode_save_attention_and_scores(reverse_env):
     assert pngs, "no attention plots written"
     assert (model_dir / "attn_run.dev.scores").is_file()
     assert (model_dir / "attn_run.dev.tokens").is_file()
+
+
+def test_profiler_hook_writes_trace(reverse_env, monkeypatch, tmp_path):
+    """JOEYS2T_PROFILE_DIR captures a profiler trace of steps 10-20
+    (observability upgrade over the reference's wall-clock logging)."""
+    import copy
+
+    tmp, cfg = reverse_env
+    cfg = copy.deepcopy(cfg)
+    cfg["model_dir"] = (tmp / "model_prof").as_posix()
+    cfg["training"].update(epochs=3)  # ~30 steps -> crosses the 10-20 window
+    trace_dir = tmp_path / "trace"
+    monkeypatch.setenv("JOEYS2T_PROFILE_DIR", trace_dir.as_posix())
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    files = list(trace_dir.rglob("*")) if trace_dir.exists() else []
+    assert any(f.is_file() for f in files), files
