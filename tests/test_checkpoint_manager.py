@@ -1,0 +1,59 @@
+# coding: utf-8
+"""CheckpointManager best-K retention (joeynmt/training.py:149-218): heap
+behavior in minimize and maximize modes, symlink rotation, and that the
+best checkpoint is never deleted."""
+from pathlib import Path
+
+from joeys2t_tpu.checkpoints import CheckpointManager
+
+
+def state(i):
+    return {"model_state": {"w": [float(i)]}, "stats_state": {"steps": i}}
+
+
+def kept(model_dir: Path):
+    return sorted(int(p.stem) for p in model_dir.glob("*.ckpt")
+                  if not p.is_symlink())
+
+
+class TestBestK:
+    def test_minimize_keeps_lowest_scores(self, tmp_path):
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=2, minimize_metric=True)
+        scores = {10: 5.0, 20: 3.0, 30: 4.0}
+        best = float("inf")
+        for step, score in scores.items():
+            new_best = score < best
+            best = min(best, score)
+            cm.save(step, state(step), new_best=new_best, score=score)
+        # worst (5.0 at step 10) evicted; best symlink -> 20
+        assert kept(tmp_path) == [20, 30]
+        assert (tmp_path / "best.ckpt").resolve().stem == "20"
+        assert (tmp_path / "latest.ckpt").resolve().stem == "30"
+
+    def test_maximize_keeps_highest_scores(self, tmp_path):
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=2, minimize_metric=False)
+        scores = {10: 10.0, 20: 30.0, 30: 20.0}
+        best = -float("inf")
+        for step, score in scores.items():
+            new_best = score > best
+            best = max(best, score)
+            cm.save(step, state(step), new_best=new_best, score=score)
+        assert kept(tmp_path) == [20, 30]
+        assert (tmp_path / "best.ckpt").resolve().stem == "20"
+
+    def test_best_never_deleted(self, tmp_path):
+        """Even when the best score rotates out of the heap by age, the file
+        the best symlink points to survives (joeynmt/training.py:209-210)."""
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=1, minimize_metric=True)
+        cm.save(10, state(10), new_best=True, score=1.0)
+        cm.save(20, state(20), new_best=False, score=2.0)
+        cm.save(30, state(30), new_best=False, score=3.0)
+        assert (tmp_path / "best.ckpt").resolve().stem == "10"
+        assert (tmp_path / "10.ckpt").exists()
+
+    def test_nan_scores_skip_queue(self, tmp_path):
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=1, minimize_metric=True)
+        cm.save(10, state(10), new_best=True, score=float("nan"))
+        cm.save(20, state(20), new_best=False, score=float("nan"))
+        # nothing queued -> nothing deleted
+        assert kept(tmp_path) == [10, 20]
