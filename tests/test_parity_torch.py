@@ -273,3 +273,86 @@ def test_convert_roundtrip(ref_modules):
         key = jax.tree_util.keystr(path)
         assert key in b_map, key
         np.testing.assert_array_equal(np.asarray(value), b_map[key])
+
+
+@needs_ref
+def test_zoo_local_loads_torch_snapshot(ref_modules, tmp_path):
+    """The published-model flow end to end: a snapshot dir containing a
+    torch-format checkpoint + config + vocab loads through zoo.load('local'),
+    converting the checkpoint in place, and generate() decodes
+    (joeynmt/hubconf.py 'local' + hub_interface semantics)."""
+    from types import SimpleNamespace
+
+    import yaml
+
+    from joeynmt.model import build_model as torch_build
+    from joeynmt.vocabulary import Vocabulary as TorchVocab
+
+    sym = dict(unk_token="<unk>", pad_token="<pad>", bos_token="<s>",
+               eos_token="</s>", sep_token=None, unk_id=0, pad_id=1, bos_id=2,
+               eos_id=3, sep_id=None, lang_tags=[])
+    tokens = [str(i) for i in range(10)]
+    tvocab = TorchVocab(tokens, SimpleNamespace(**sym))
+    side = {"num_layers": 1, "num_heads": 2, "hidden_size": 16, "ff_size": 32,
+            "dropout": 0.0, "layer_norm": "pre", "activation": "relu",
+            "embeddings": {"embedding_dim": 16, "scale": True, "dropout": 0.0}}
+    model_cfg = {"encoder": dict(side, type="transformer"),
+                 "decoder": dict(side, type="transformer")}
+    torch.manual_seed(0)
+    tmodel = torch_build(model_cfg, src_vocab=tvocab, trg_vocab=tvocab)
+
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    torch.save({"model_state": tmodel.state_dict()}, snap / "best.ckpt")
+    vocab_lines = ["<unk>", "<pad>", "<s>", "</s>"] + tokens
+    (snap / "src_vocab.txt").write_text("\n".join(vocab_lines) + "\n")
+    (snap / "trg_vocab.txt").write_text("\n".join(vocab_lines) + "\n")
+    cfg = {
+        "name": "zoo-local", "task": "MT", "model_dir": snap.as_posix(),
+        "data": {
+            "dataset_type": "plain",
+            # published snapshots keep their original (non-existent) train
+            # path strings; translate mode never reads them
+            "train": "dummy/train",
+            "src": {"lang": "src", "level": "word", "lowercase": False,
+                    "voc_file": (snap / "src_vocab.txt").as_posix()},
+            "trg": {"lang": "trg", "level": "word", "lowercase": False,
+                    "voc_file": (snap / "trg_vocab.txt").as_posix()},
+            "special_symbols": {
+                "unk_token": "<unk>", "unk_id": 0, "pad_token": "<pad>",
+                "pad_id": 1, "bos_token": "<s>", "bos_id": 2,
+                "eos_token": "</s>", "eos_id": 3},
+        },
+        "testing": {"load_model": (snap / "best.ckpt").as_posix(),
+                    "beam_size": 1, "batch_size": 2,
+                    "max_output_length": 10},
+        "training": {"optimizer": "adam", "learning_rate": 1e-4,
+                     "batch_size": 2},
+        "model": model_cfg,
+    }
+    with (snap / "config.yaml").open("w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from joeys2t_tpu.zoo import load
+
+    hub = load("local", model_dir=snap.as_posix(), ckpt_name="best.ckpt")
+    out = hub.generate(["3 5 7", "2 4"])
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+
+    # the checkpoint was converted in place to the native format
+    import pickle
+
+    with (snap / "best.ckpt").open("rb") as f:
+        ckpt = pickle.load(f)
+    import numpy as _np
+
+    leaf = next(iter(_leaves(ckpt["model_state"])))
+    assert isinstance(leaf, _np.ndarray)
+
+
+def _leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _leaves(v)
+        else:
+            yield v
