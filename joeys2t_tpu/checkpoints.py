@@ -150,3 +150,27 @@ def partial_load(params: Dict, ckpt_params: Dict, prefix: str) -> Dict:
     new = dict(params)
     new[prefix] = ckpt_params[prefix]
     return new
+
+
+# ------------------------------------------------------- sharded (orbax)
+def save_sharded(directory: Path, params) -> None:
+    """Save (possibly sharded) params with orbax — every process writes its
+    own shards, no host gather. For multi-host / model-parallel training
+    where pickling a gathered copy (save_checkpoint) would not scale; the
+    logical checkpoint layout stays the pickle dict for everything else."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(directory, params, force=True)
+
+
+def load_sharded(directory: Path, template) -> Dict:
+    """Restore params saved by save_sharded. ``template`` is a pytree of
+    arrays or jax.ShapeDtypeStruct(+sharding) giving the target placement —
+    pass sharded abstract arrays to restore directly onto a mesh."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(directory, template)
