@@ -135,10 +135,43 @@ class BPE:
         else:
             self._recursive_split(right, out, final)
 
+    def _isolate_glossaries(self, word: str) -> List[Tuple[str, bool]]:
+        """Split `word` around glossary matches (subword_nmt
+        apply_bpe.isolate_glossary semantics): matched spans pass through
+        BPE unsegmented, the rest is segmented normally. Glossary entries
+        are treated as regular expressions, like subword-nmt's."""
+        import re
+
+        parts: List[Tuple[str, bool]] = [(word, False)]
+        for gloss in self.glossaries:
+            pattern = re.compile(f"({gloss})")
+            nxt: List[Tuple[str, bool]] = []
+            for seg, is_gloss in parts:
+                if is_gloss:
+                    nxt.append((seg, True))
+                    continue
+                pieces = pattern.split(seg)
+                for i, piece in enumerate(pieces):
+                    if piece:
+                        nxt.append((piece, i % 2 == 1))  # odd = captured match
+            parts = nxt
+        return parts
+
     def segment_word(self, word: str, dropout: float = 0.0) -> List[str]:
-        pieces = list(self._encode_word(word, dropout))
-        if self.vocab:
-            pieces = self._check_vocab_and_split(pieces)
+        if self.glossaries:
+            pieces: List[str] = []
+            for seg, is_gloss in self._isolate_glossaries(word):
+                if is_gloss:
+                    pieces.append(seg)
+                else:
+                    sub = list(self._encode_word(seg, dropout))
+                    if self.vocab:
+                        sub = self._check_vocab_and_split(sub)
+                    pieces.extend(sub)
+        else:
+            pieces = list(self._encode_word(word, dropout))
+            if self.vocab:
+                pieces = self._check_vocab_and_split(pieces)
         if len(pieces) > 1:
             return [p + self.separator for p in pieces[:-1]] + [pieces[-1]]
         return pieces

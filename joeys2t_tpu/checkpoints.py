@@ -83,19 +83,22 @@ class CheckpointManager:
         to_delete = None
         if not (isinstance(score, float) and np.isnan(score)) \
                 and self.keep_best_ckpts > 0:
+            # min-heap over a "badness-last" key: for minimized metrics the
+            # worst checkpoint has the LARGEST score, so negate it — then
+            # heappushpop uniformly evicts the worst of the K+1, keeping the
+            # genuinely best K on disk in both directions (no private
+            # heapq._heapify_max APIs, no best-ckpt eviction by a worse
+            # newcomer).
+            key = -score if self.minimize_metric else score
             if len(self.ckpt_queue) < self.keep_best_ckpts:
-                heapq.heappush(self.ckpt_queue, (score, model_path))
+                heapq.heappush(self.ckpt_queue, (key, model_path))
             else:
-                if self.minimize_metric:  # pop the worst (largest) score
-                    # pylint: disable=protected-access
-                    heapq._heapify_max(self.ckpt_queue)
-                    to_delete = heapq._heappop_max(self.ckpt_queue)
-                    heapq.heappush(self.ckpt_queue, (score, model_path))
-                else:
-                    to_delete = heapq.heappushpop(self.ckpt_queue, (score, model_path))
+                to_delete = heapq.heappushpop(self.ckpt_queue, (key, model_path))
 
-            if to_delete is not None:
-                assert to_delete[1] != model_path  # don't delete the last ckpt
+            if to_delete is not None and to_delete[1] != model_path:
+                # (if the new ckpt itself is the worst it stays on disk as
+                # the latest.ckpt target; the symlink-rotation cleanup below
+                # removes it once latest moves on)
                 if to_delete[1].stem != best_path.resolve().stem:
                     delete_ckpt(to_delete[1])  # don't delete the best ckpt
 

@@ -136,11 +136,24 @@ def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     return converted
 
 
-def load_torch_checkpoint(path) -> Dict:
-    """Load a torch-format reference checkpoint and convert model params."""
+def load_torch_checkpoint(path, allow_pickle: bool = False) -> Dict:
+    """Load a torch-format reference checkpoint and convert model params.
+
+    Tries the safe ``weights_only=True`` loader first (tensors only, no
+    arbitrary pickle execution). Reference training checkpoints also carry
+    scheduler/iterator state that needs full unpickling; that path runs only
+    with explicit ``allow_pickle=True`` opt-in.
+    """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError subclasses vary by version
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} needs full (unsafe) unpickling to load; pass "
+                f"allow_pickle=True if you trust its source.") from e
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt["model_state"] if "model_state" in ckpt else ckpt
     params = torch_state_dict_to_flax(
         {k: v.cpu().numpy() for k, v in state_dict.items()})

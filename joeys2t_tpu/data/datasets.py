@@ -496,8 +496,8 @@ class StreamDataset(BaseDataset):
                  src_prompt: Optional[str] = None,
                  trg_prompt: Optional[str] = None) -> None:
         assert isinstance(src_line, str) and src_line.strip() != "", \
-            "The input sentence is empty! Please make sure " \
-            "that you are feeding a valid input."
+            "Got an empty input sentence — tokenization needs " \
+            "non-empty text."
         src_line, src_prompt = self._split_at_sep(
             src_line, src_prompt, self.src_lang,
             getattr(self.tokenizer[self.src_lang], "sep_token", None))

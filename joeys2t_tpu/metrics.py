@@ -49,25 +49,23 @@ def bleu(hypotheses: List[str], references: List[str], **sacrebleu_cfg) -> float
 def token_accuracy(hypotheses: List[str], references: List[str],
                    tokenizer: Callable) -> float:
     """Correct tokens / all hyp tokens, positionwise (joeynmt/metrics.py:65-89)."""
-    correct_tokens = 0
-    all_tokens = 0
     assert len(hypotheses) == len(references)
-    for hyp, ref in zip(hypotheses, references):
-        hyp = tokenizer(hyp)
-        ref = tokenizer(ref)
-        all_tokens += len(hyp)
-        for h_i, r_i in zip(hyp, ref):
-            if h_i == r_i:
-                correct_tokens += 1
-    return (correct_tokens / all_tokens) * 100 if all_tokens > 0 else 0.0
+    n_match = 0
+    n_hyp_tokens = 0
+    for hyp_str, ref_str in zip(hypotheses, references):
+        hyp_toks, ref_toks = tokenizer(hyp_str), tokenizer(ref_str)
+        n_hyp_tokens += len(hyp_toks)
+        n_match += sum(int(h == r) for h, r in zip(hyp_toks, ref_toks))
+    return (n_match / n_hyp_tokens) * 100 if n_hyp_tokens else 0.0
 
 
 def sequence_accuracy(hypotheses: List[str], references: List[str]) -> float:
     """Exact sequence match rate (joeynmt/metrics.py:92-107)."""
     assert len(hypotheses) == len(references)
-    correct_sequences = sum(
-        1 for (hyp, ref) in zip(hypotheses, references) if hyp == ref)
-    return (correct_sequences / len(hypotheses)) * 100 if hypotheses else 0.0
+    if not hypotheses:
+        return 0.0
+    n_exact = sum(int(h == r) for h, r in zip(hypotheses, references))
+    return (n_exact / len(hypotheses)) * 100
 
 
 def wer(hypotheses: List[str], references: List[str], tokenizer: Callable) -> float:

@@ -298,8 +298,18 @@ class MoEFeedForward(nn.Module):
             x = self.layer_norm(x).astype(self.dtype)
         gates = jax.nn.softmax(self.router(x.astype(jnp.float32)), axis=-1)
         top1 = jnp.argmax(gates, axis=-1)  # (B, T)
+        one_hot = jax.nn.one_hot(top1, self.num_experts, dtype=jnp.float32)
+        # Switch Transformer load-balance auxiliary loss (arXiv:2101.03961
+        # eq. 4): E * sum_e(dispatch-fraction_e * mean-router-prob_e).
+        # Minimised at uniform routing (value 1.0); collected via sow so
+        # it is a no-op unless the caller applies with
+        # mutable=["aux_loss"] (the train step folds it into the objective).
+        f = jnp.mean(one_hot, axis=(0, 1))       # fraction routed per expert
+        p = jnp.mean(gates, axis=(0, 1))         # mean router prob per expert
+        self.sow("aux_loss", "moe_load_balance",
+                 self.num_experts * jnp.sum(f * p))
         # (B, T, E): router prob of the selected expert, zero elsewhere
-        dispatch = (jax.nn.one_hot(top1, self.num_experts, dtype=jnp.float32)
+        dispatch = (one_hot
                     * jnp.max(gates, axis=-1, keepdims=True)).astype(self.dtype)
 
         w1 = self.w1.astype(self.dtype)

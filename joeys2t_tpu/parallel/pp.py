@@ -101,8 +101,8 @@ def pipeline_apply(
 
         # mark the carries as device-varying over `axis` up front so the
         # fori_loop carry type is stable (see shard_map docs on VMA)
-        state = jax.lax.pvary(jnp.zeros_like(micro_all[0]), axis)
-        outputs = jax.lax.pvary(jnp.zeros_like(micro_all), axis)
+        state = jax.lax.pcast(jnp.zeros_like(micro_all[0]), axis, to="varying")
+        outputs = jax.lax.pcast(jnp.zeros_like(micro_all), axis, to="varying")
 
         def step(t, carry):
             state, outputs = carry

@@ -189,11 +189,14 @@ def predict(
         valid_attn_scores.extend(
             np.asarray(attention_scores)[sort_reverse_index]
             if attention_scores is not None else [])
+        # hyp_scores may have more rows than batch_size when pad_to_shape
+        # rounded the batch up; sort_reverse_index only touches real rows
+        # (pad rows sort to the end), so indexing is valid either way.
         valid_seq_scores.extend(
             ref_scores[reverse_index]
             if ref_scores is not None and ref_scores.shape[0] == nseqs_real
             else hyp_scores[sort_reverse_index]
-            if hyp_scores is not None and hyp_scores.shape[0] == batch_size
+            if hyp_scores is not None and hyp_scores.shape[0] >= batch_size
             else [])
         total_nseqs += nseqs_real
 

@@ -69,8 +69,8 @@ class BasicTokenizer:
         """joeynmt/tokenizers.py:72-102."""
         if not allow_empty:
             assert isinstance(raw_input, str) and raw_input.strip() != "", \
-                "The input sentence is empty! Please make sure " \
-                "that you are feeding a valid input."
+                "Got an empty input sentence — tokenization needs " \
+                "non-empty text."
         if self.normalize:
             raw_input = remove_extra_spaces(unicode_normalize(raw_input))
         if self.pretokenizer == "moses":
@@ -238,6 +238,8 @@ class SubwordNMTTokenizer(BasicTokenizer):
         self.separator: str = kwargs.get("separator", "@@")
         self.dropout: float = kwargs.get("dropout", 0.0)
         self.bpe = BPE.from_file(codes_file, separator=self.separator)
+        # glossary terms are isolated from segmentation (subword-nmt option)
+        self.bpe.glossaries = list(kwargs.get("glossaries") or [])
         self.codes: Path = codes_file
 
     def __call__(self, raw_input: str, is_train: bool = False) -> List[str]:

@@ -179,12 +179,17 @@ class TrainManager:
     # -------------------------------------------------------------- jit steps
     def _loss_and_metrics(self, params, batch, dropout_rng, normalizer):
         model, loss_fn = self.model, self.loss_fn
-        logits, ctc_logits, out_mask = model.apply(
+        (logits, ctc_logits, out_mask), mutated = model.apply(
             {"params": params}, batch["src"], batch["trg_input"],
             batch["src_length"], batch["src_mask"], batch["trg_mask"],
             src_prompt_mask=batch["src_prompt_mask"],
             trg_prompt_mask=batch["trg_prompt_mask"],
-            deterministic=False, rngs={"dropout": dropout_rng})
+            deterministic=False, rngs={"dropout": dropout_rng},
+            mutable=["aux_loss"])
+        # MoE load-balance terms sown by MoEFeedForward (Switch aux loss,
+        # coefficient 0.01 per arXiv:2101.03961 §2.2); empty for dense models
+        aux = sum(jnp.sum(jnp.asarray(v))
+                  for v in jax.tree.leaves(mutated.get("aux_loss", {})))
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         kwargs = dict(trg=batch["trg"])
         if loss_fn.require_ctc_layer and ctc_logits is not None:
@@ -200,6 +205,7 @@ class TrainManager:
             jnp.where(trg_mask_2d, jnp.argmax(log_probs, -1) == batch["trg"], False))
         # normalize (joeynmt/batch.py:135-175); accumulation divide folded in
         norm = total / normalizer / self.args.batch_multiplier
+        norm = norm + 0.01 * aux  # no-op (aux==0) unless MoE layers present
         metrics = (norm, nll / normalizer / self.args.batch_multiplier,
                    ctc / normalizer / self.args.batch_multiplier, n_correct)
         return norm, metrics
@@ -603,12 +609,12 @@ class TrainStatistics:
         return score > self.best_ckpt_score
 
     def is_better(self, score: float, heap_queue: list) -> bool:
-        import heapq
-
+        # heap entries are (key, path) with key = -score for minimized
+        # metrics (see CheckpointManager.save), so heap_queue[0] is always
+        # the worst retained checkpoint and "better" is a key comparison
         assert len(heap_queue) > 0
-        if self.minimize_metric:
-            return score < heapq.nlargest(1, heap_queue)[0][0]
-        return score > heapq.nsmallest(1, heap_queue)[0][0]
+        key = -score if self.minimize_metric else score
+        return key > heap_queue[0][0]
 
     def state_dict(self) -> Dict:
         return {

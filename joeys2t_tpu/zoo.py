@@ -67,7 +67,18 @@ def _download_and_extract(name: str) -> Path:
 
     tmp = _cache_dir() / f"_extract_{name}"
     with tarfile.open(tar_path) as tar:
-        tar.extractall(tmp)
+        # 'data' filter rejects absolute/parent-escaping member paths
+        # (CVE-2007-4559 path traversal); fall back to a manual check on
+        # Pythons without extraction filters (<3.12 backports vary)
+        try:
+            tar.extractall(tmp, filter="data")
+        except TypeError:
+            for member in tar.getmembers():
+                dest = (tmp / member.name).resolve()
+                if not str(dest).startswith(str(tmp.resolve())):
+                    raise RuntimeError(
+                        f"archive member escapes extraction dir: {member.name}")
+            tar.extractall(tmp)
     # archives contain one top-level dir
     inner = next(p for p in tmp.iterdir() if p.is_dir())
     shutil.move(inner.as_posix(), target.as_posix())

@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("src", help="input checkpoint")
     ap.add_argument("dst", help="output checkpoint")
+    ap.add_argument("--allow-pickle", action="store_true",
+                    help="permit full unpickling of the torch checkpoint "
+                         "(unsafe for untrusted files)")
     ap.add_argument("--to-torch", action="store_true",
                     help="convert a native checkpoint to a torch state_dict "
                          "(requires torch; default is torch -> native)")
@@ -43,7 +46,7 @@ def main():
         from joeys2t_tpu.checkpoints import save_checkpoint
         from joeys2t_tpu.convert import load_torch_checkpoint
 
-        ckpt = load_torch_checkpoint(args.src)
+        ckpt = load_torch_checkpoint(args.src, allow_pickle=args.allow_pickle)
         save_checkpoint(Path(args.dst), ckpt)
         import jax
 

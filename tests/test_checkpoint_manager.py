@@ -57,3 +57,30 @@ class TestBestK:
         cm.save(20, state(20), new_best=False, score=float("nan"))
         # nothing queued -> nothing deleted
         assert kept(tmp_path) == [10, 20]
+
+    def test_worse_newcomer_does_not_evict_better(self, tmp_path):
+        """A new checkpoint with a worse score than everything retained must
+        not evict a better one (fixes the reference's max-heap quirk): the
+        best-K on disk stay the genuinely best K."""
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=2, minimize_metric=True)
+        cm.save(10, state(10), new_best=True, score=1.0)
+        cm.save(20, state(20), new_best=False, score=2.0)
+        cm.save(30, state(30), new_best=False, score=9.0)  # worst so far
+        # queue still holds steps 10 and 20; 30 only survives as latest
+        assert sorted(p.stem for _, p in cm.ckpt_queue) == ["10", "20"]
+        assert (tmp_path / "10.ckpt").exists()
+        assert (tmp_path / "20.ckpt").exists()
+        assert (tmp_path / "latest.ckpt").resolve().stem == "30"
+        # once latest rotates on, the out-of-queue 30 is cleaned up
+        cm.save(40, state(40), new_best=False, score=1.5)
+        assert not (tmp_path / "30.ckpt").exists()
+        assert sorted(p.stem for _, p in cm.ckpt_queue) == ["10", "40"]
+
+    def test_worse_newcomer_maximize(self, tmp_path):
+        cm = CheckpointManager(tmp_path, keep_best_ckpts=2,
+                               minimize_metric=False)
+        cm.save(10, state(10), new_best=True, score=30.0)
+        cm.save(20, state(20), new_best=False, score=20.0)
+        cm.save(30, state(30), new_best=False, score=5.0)  # worst so far
+        assert sorted(p.stem for _, p in cm.ckpt_queue) == ["10", "20"]
+        assert (tmp_path / "10.ckpt").exists()

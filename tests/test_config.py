@@ -107,14 +107,29 @@ class TestTestArgs:
 class TestShippedConfigs:
     @pytest.mark.parametrize("name", sorted(
         p.name for p in CONFIGS.glob("*.yaml")))
-    def test_parses(self, name):
+    def test_parses(self, name, tmp_path, monkeypatch):
         cfg = load_config((CONFIGS / name).as_posix())
         task = cfg.get("task", "MT")
         assert task in ("MT", "S2T")
-        try:
-            args = parse_global_args(cfg, rank=0, mode="train")
-        except AssertionError as e:
-            if "not found" in str(e):  # transfer configs need prior artifacts
-                pytest.skip(f"requires prior checkpoint: {e}")
-            raise
+        # transfer configs (load_model/load_encoder/load_decoder) reference
+        # prior checkpoints by relative path; stub them in a tmp cwd so the
+        # resume/transfer parse branch is exercised rather than skipped
+        train_cfg = cfg.get("training", {})
+        test_cfg = cfg.get("testing", {})
+        ckpt_paths = [
+            v for section in (train_cfg, test_cfg)
+            for k, v in section.items()
+            if k in ("load_model", "load_encoder", "load_decoder")
+        ]
+        if ckpt_paths:
+            monkeypatch.chdir(tmp_path)
+            for p in ckpt_paths:
+                stub = tmp_path / p
+                stub.parent.mkdir(parents=True, exist_ok=True)
+                stub.touch()
+        args = parse_global_args(cfg, rank=0, mode="train")
         assert args.model_dir is not None
+        if ckpt_paths and "load_model" in train_cfg:
+            assert args.train.load_model is not None
+        if "load_encoder" in train_cfg:
+            assert args.train.load_encoder is not None

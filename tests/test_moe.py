@@ -125,3 +125,37 @@ def test_moe_learns_on_copy_signal():
         params, opt_state, l = step(params, opt_state)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_moe_load_balance_aux_loss():
+    """Switch aux loss (arXiv:2101.03961 eq. 4) is sown under "aux_loss";
+    value is E*sum(f*p) >= 1.0, == 1.0 only at perfectly uniform routing."""
+    model, spec = build(num_experts=4)
+    src, trg_input, trg, src_mask, trg_mask, src_len = make_inputs()
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_input,
+                        src_len, src_mask, trg_mask)["params"]
+    out, mutated = model.apply({"params": params}, src, trg_input, src_len,
+                               src_mask, trg_mask, deterministic=True,
+                               mutable=["aux_loss"])
+    leaves = jax.tree.leaves(mutated["aux_loss"])
+    assert len(leaves) >= 1
+    aux = float(sum(jnp.sum(jnp.asarray(v)) for v in leaves))
+    assert aux >= 1.0 - 1e-5
+
+    # the aux term must carry gradient into the router
+    def aux_only(p):
+        _, mut = model.apply({"params": p}, src, trg_input, src_len,
+                             src_mask, trg_mask, deterministic=True,
+                             mutable=["aux_loss"])
+        return sum(jnp.sum(jnp.asarray(v))
+                   for v in jax.tree.leaves(mut["aux_loss"]))
+
+    g = jax.grad(aux_only)(params)
+    router_g = g["encoder"]["layer_0"]["feed_forward"]["router"]["kernel"]
+    assert float(jnp.abs(router_g).max()) > 0
+
+    # without the mutable collection, sow is a no-op: plain apply unchanged
+    logits, _, _ = model.apply({"params": params}, src, trg_input, src_len,
+                               src_mask, trg_mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(out[0]),
+                               rtol=1e-6)

@@ -71,6 +71,22 @@ class TestSubwordNMT:
         # with heavy dropout nearly character-level
         assert len(toks) >= 4
 
+    @needs_ref
+    def test_glossary_isolation(self):
+        """Glossary terms pass through BPE unsegmented (subword_nmt
+        apply_bpe.isolate_glossary semantics; see ADVICE r1)."""
+        bpe = BPE.from_file(REF_DATA / "toy/bpe200.codes")
+        # without glossary, "Danke." is segmented
+        assert len(bpe.process_line("Danke.").split()) > 1
+        bpe.glossaries = ["Danke"]
+        bpe._cache.clear()
+        out = bpe.process_line("Danke.").split()
+        # "Danke" survives whole; the trailing "." is segmented separately
+        assert out[0].replace("@@", "") == "Danke"
+        # embedded occurrence is isolated too
+        out2 = bpe.process_line("xDankey").split()
+        assert any(piece.replace("@@", "") == "Danke" for piece in out2)
+
     def test_learn_bpe_roundtrip(self, tmp_path):
         freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
         merges = learn_bpe(freqs, 10)
