@@ -41,10 +41,12 @@ def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
     for name, tensor in state_dict.items():
         value = np.asarray(getattr(tensor, "numpy", lambda: tensor)())
         parts = name.split(".")
-        if "rnn" in parts or "pointwise_conv1" in parts or "batch_norm" in parts:
+        if "rnn" in parts:
             raise NotImplementedError(
-                f"Cannot convert parameter {name}: recurrent/conformer "
-                "checkpoints are not supported.")
+                f"Cannot convert parameter {name}: recurrent checkpoints "
+                "are not supported.")
+        if parts[-1] == "num_batches_tracked":  # BN bookkeeping, not needed
+            continue
 
         if parts[0] in ("src_embed", "trg_embed") and parts[1] == "lut":
             _set(tree, (parts[0], "lut", "embedding"), value)
@@ -68,11 +70,25 @@ def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
                 path.append(f"conv_{parts[i + 1]}")
                 i += 2
                 continue
+            if p == "batch_norm":
+                # conformer BN (transformer_layers.py:448) -> inference-form
+                # params on ConvolutionModule (norm_type="batchnorm")
+                leaf = {"weight": "batch_norm_scale", "bias": "batch_norm_bias",
+                        "running_mean": "batch_norm_mean",
+                        "running_var": "batch_norm_var"}[parts[i + 1]]
+                path.append(leaf)
+                i += 2
+                continue
             if p in ("weight", "bias"):
                 is_norm = path[-1].endswith("layer_norm") or path[-1] == "norm"
+                is_pointwise = path[-1].startswith("pointwise_conv")
                 if p == "weight":
                     if is_norm:
                         path.append("scale")
+                    elif is_pointwise:
+                        # torch Conv1d k=1 (out, in, 1) -> flax Dense (in, out)
+                        value = value[:, :, 0].T
+                        path.append("kernel")
                     elif value.ndim == 2:  # Linear: (out, in) -> (in, out)
                         value = value.T
                         path.append("kernel")

@@ -42,6 +42,101 @@ def read_wav(path: Path) -> Tuple[np.ndarray, int]:
     return data, framerate
 
 
+_MPG123 = None
+
+
+def _load_mpg123():
+    """Bind the system libmpg123 via ctypes (no Python package needed)."""
+    global _MPG123
+    if _MPG123 is not None:
+        return _MPG123 or None
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("mpg123") or "libmpg123.so.0"
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        _MPG123 = False
+        return None
+    c = ctypes
+    lib.mpg123_new.restype = c.c_void_p
+    lib.mpg123_new.argtypes = [c.c_char_p, c.POINTER(c.c_int)]
+    lib.mpg123_open.argtypes = [c.c_void_p, c.c_char_p]
+    lib.mpg123_getformat.argtypes = [c.c_void_p, c.POINTER(c.c_long),
+                                     c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.mpg123_format_none.argtypes = [c.c_void_p]
+    lib.mpg123_format.argtypes = [c.c_void_p, c.c_long, c.c_int, c.c_int]
+    lib.mpg123_read.argtypes = [c.c_void_p, c.c_void_p, c.c_size_t,
+                                c.POINTER(c.c_size_t)]
+    lib.mpg123_close.argtypes = [c.c_void_p]
+    lib.mpg123_delete.argtypes = [c.c_void_p]
+    try:  # modern mpg123 makes init a no-op; call it when present
+        lib.mpg123_init()
+    except AttributeError:
+        pass
+    _MPG123 = lib
+    return lib
+
+
+def read_mp3(path: Path) -> Tuple[np.ndarray, int]:
+    """Decode an .mp3 to (float32 waveform in int16 scale, sample_rate) via
+    the system libmpg123 (counterpart of the reference's torchaudio/sox
+    mp3 path, joeynmt/helpers_for_audio.py:100-127). Stereo is downmixed by
+    averaging, matching read_wav."""
+    import ctypes as c
+
+    lib = _load_mpg123()
+    if lib is None:
+        raise RuntimeError(
+            "mp3 decoding needs the system libmpg123, which was not found; "
+            "convert the file to .wav or precompute .npy features.")
+
+    MPG123_OK, MPG123_DONE = 0, -12
+    ENC_SIGNED_16 = 0xD0  # MPG123_ENC_SIGNED_16
+
+    err = c.c_int(0)
+    h = lib.mpg123_new(None, c.byref(err))
+    assert h, f"mpg123_new failed: {err.value}"
+    try:
+        rc = lib.mpg123_open(h, str(path).encode())
+        if rc != MPG123_OK:
+            raise RuntimeError(f"mpg123_open({path}) failed: {rc}")
+        rate = c.c_long(0)
+        channels = c.c_int(0)
+        encoding = c.c_int(0)
+        rc = lib.mpg123_getformat(h, c.byref(rate), c.byref(channels),
+                                  c.byref(encoding))
+        if rc != MPG123_OK:
+            raise RuntimeError(f"mpg123_getformat failed: {rc}")
+        # pin the output format to signed 16-bit at the native rate/channels
+        lib.mpg123_format_none(h)
+        lib.mpg123_format(h, rate.value, channels.value, ENC_SIGNED_16)
+
+        chunks = []
+        buf = c.create_string_buffer(65536)
+        done = c.c_size_t(0)
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), c.byref(done))
+            if done.value:
+                chunks.append(bytes(buf.raw[:done.value]))
+            if rc == MPG123_DONE:
+                break
+            if rc not in (MPG123_OK,):
+                # MPG123_NEW_FORMAT (-11) can occur once at stream start
+                if rc == -11:
+                    continue
+                raise RuntimeError(f"mpg123_read failed: {rc}")
+    finally:
+        lib.mpg123_close(h)
+        lib.mpg123_delete(h)
+
+    data = np.frombuffer(b"".join(chunks), dtype="<i2").astype(np.float32)
+    if channels.value > 1:
+        data = data.reshape(-1, channels.value).mean(axis=1)
+    return data, int(rate.value)
+
+
 def extract_fbank_features(
     waveform: np.ndarray,
     sample_rate: int,
@@ -105,6 +200,9 @@ def get_features(root_path, fbank_path: str) -> np.ndarray:
             features = np.load(_path.as_posix())
         elif _path.suffix == ".wav":
             waveform, sample_rate = read_wav(_path)
+            features = extract_fbank_features(waveform, sample_rate)
+        elif _path.suffix == ".mp3":
+            waveform, sample_rate = read_mp3(_path)
             features = extract_fbank_features(waveform, sample_rate)
         else:
             raise ValueError(f"Invalid file type: {_path}")

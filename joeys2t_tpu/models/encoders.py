@@ -141,6 +141,7 @@ class ConformerEncoder(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False  # see TransformerEncoder.remat
     sequence_parallel: bool = False  # see TransformerEncoder.sequence_parallel
+    conv_norm_type: str = "layernorm"  # "batchnorm" for converted reference ckpts
 
     @property
     def output_size(self) -> int:
@@ -155,7 +156,8 @@ class ConformerEncoder(nn.Module):
                 dropout=self.dropout, alpha=self.alpha,
                 layer_norm_position=self.layer_norm_position,
                 depthwise_conv_kernel_size=self.depthwise_conv_kernel_size,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"layer_{i}")
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                conv_norm_type=self.conv_norm_type, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear")

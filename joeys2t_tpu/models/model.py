@@ -259,6 +259,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
         if enc_type == "conformer":
             encoder = ConformerEncoder(
                 depthwise_conv_kernel_size=enc_cfg.get("depthwise_conv_kernel_size", 31),
+                conv_norm_type=enc_cfg.get("conv_norm", "layernorm"),
                 **common)
         else:
             encoder = TransformerEncoder(

@@ -481,9 +481,19 @@ class TransformerDecoderLayer(nn.Module):
 class ConvolutionModule(nn.Module):
     """Conformer convolution block (joeynmt/transformer_layers.py:410-475).
 
-    BatchNorm is replaced by LayerNorm over channels: batch statistics are
-    hostile to pjit sharding and padded batches; layer statistics keep the
-    module shard-agnostic. (Capability-equivalent, not bit-identical.)
+    ``norm_type`` selects the post-depthwise-conv normalization:
+
+    - "layernorm" (default, TPU-first choice for fresh training): batch
+      statistics are hostile to pjit sharding and padded batches; layer
+      statistics keep the module shard-agnostic. Capability-equivalent to
+      the reference, not bit-identical.
+    - "batchnorm": inference-form BatchNorm1d with stored running stats
+      ((x - mean) / sqrt(var + 1e-5) * scale + bias, torch BN.eval()
+      semantics) so converted reference conformer checkpoints
+      (joeynmt/transformer_layers.py:448 nn.BatchNorm1d) reproduce their
+      published outputs exactly. Stats stay frozen during fine-tuning —
+      there is no cross-batch statistics update (by design: shard-
+      agnostic); train new models with "layernorm" instead.
     """
 
     hidden_size: int
@@ -491,10 +501,12 @@ class ConvolutionModule(nn.Module):
     depthwise_kernel_size: int
     dropout: float
     dtype: Any = jnp.float32
+    norm_type: str = "layernorm"
 
     def setup(self):
         assert (self.depthwise_kernel_size - 1) % 2 == 0, \
             "kernel_size should be a odd number for 'SAME' padding"
+        assert self.norm_type in {"layernorm", "batchnorm"}, self.norm_type
         self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="layer_norm")
         self.pointwise_conv1 = nn.Dense(2 * self.channels, dtype=self.dtype,
                                         name="pointwise_conv1")
@@ -506,7 +518,17 @@ class ConvolutionModule(nn.Module):
             feature_group_count=self.channels,
             dtype=self.dtype,
             name="depthwise_conv")
-        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        if self.norm_type == "batchnorm":
+            self.bn_scale = self.param("batch_norm_scale",
+                                       nn.initializers.ones, (self.channels,))
+            self.bn_bias = self.param("batch_norm_bias",
+                                      nn.initializers.zeros, (self.channels,))
+            self.bn_mean = self.param("batch_norm_mean",
+                                      nn.initializers.zeros, (self.channels,))
+            self.bn_var = self.param("batch_norm_var",
+                                     nn.initializers.ones, (self.channels,))
+        else:
+            self.norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
         self.pointwise_conv2 = nn.Dense(self.hidden_size, dtype=self.dtype,
                                         name="pointwise_conv2")
         self.dropout_layer = nn.Dropout(rate=self.dropout)
@@ -518,7 +540,12 @@ class ConvolutionModule(nn.Module):
         a, b = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(b)  # GLU over channel dim
         x = self.depthwise_conv(x)
-        x = self.norm(x).astype(self.dtype)
+        if self.norm_type == "batchnorm":
+            inv = jax.lax.rsqrt(self.bn_var.astype(jnp.float32) + 1e-5)
+            x = ((x.astype(jnp.float32) - self.bn_mean) * inv
+                 * self.bn_scale + self.bn_bias).astype(self.dtype)
+        else:
+            x = self.norm(x).astype(self.dtype)
         x = nn.hard_swish(x)  # reference uses nn.Hardswish (transformer_layers.py:449)
         x = self.pointwise_conv2(x)
         x = self.dropout_layer(x, deterministic=deterministic)
@@ -537,6 +564,7 @@ class ConformerEncoderLayer(nn.Module):
     layer_norm_position: str = "pre"
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    conv_norm_type: str = "layernorm"
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
@@ -556,7 +584,8 @@ class ConformerEncoderLayer(nn.Module):
         self.conv_module = ConvolutionModule(
             hidden_size=self.size, channels=self.size,
             depthwise_kernel_size=self.depthwise_conv_kernel_size,
-            dropout=self.dropout, dtype=self.dtype, name="conv_module")
+            dropout=self.dropout, dtype=self.dtype,
+            norm_type=self.conv_norm_type, name="conv_module")
         self.src_att_dropout = nn.Dropout(rate=self.dropout)
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],

@@ -181,3 +181,65 @@ class TestNativeFbank:
         if out is None:
             pytest.skip("native toolchain unavailable")
         assert out.shape == (0, 80)
+
+
+def _encode_mp3_with_lame(wav: "np.ndarray", sr: int, out_path: Path) -> bool:
+    """Encode int16-scale mono audio to mp3 via the system libmp3lame
+    (test fixture generation only). Returns False if lame is unavailable."""
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("mp3lame") or "libmp3lame.so.0"
+    try:
+        lame = ctypes.CDLL(name)
+    except OSError:
+        return False
+    lame.lame_init.restype = ctypes.c_void_p
+    gfp = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(gfp, sr)
+    lame.lame_set_num_channels(gfp, 1)
+    lame.lame_set_mode(gfp, 3)  # mono
+    lame.lame_set_brate(gfp, 128)
+    assert lame.lame_init_params(gfp) >= 0
+    pcm = wav.astype(np.int16)
+    n = len(pcm)
+    buf = ctypes.create_string_buffer(int(1.25 * n + 7200))
+    written = lame.lame_encode_buffer(
+        gfp, pcm.ctypes.data_as(ctypes.c_void_p), None, n, buf, len(buf))
+    assert written >= 0, written
+    out = buf.raw[:written]
+    flushed = lame.lame_encode_flush(gfp, buf, len(buf))
+    out += buf.raw[:flushed]
+    lame.lame_close(gfp)
+    out_path.write_bytes(out)
+    return True
+
+
+class TestMp3:
+    @needs_ref
+    def test_mp3_feature_lookup_roundtrip(self, tmp_path):
+        """get_features('x.mp3') decodes via libmpg123 and produces fbank
+        features close to the original wav's (mp3 is lossy; compare
+        mean-abs over aligned frames). Covers the reference's .mp3 path
+        (joeynmt/helpers_for_audio.py:100-127)."""
+        from joeys2t_tpu.data.audio_io import get_features, read_mp3
+
+        wav, sr = read_wav(REF_WAV_DIR / "260-123440-1.wav")
+        mp3_path = tmp_path / "a.mp3"
+        if not _encode_mp3_with_lame(wav, sr, mp3_path):
+            pytest.skip("libmp3lame not available to build the fixture")
+
+        decoded, sr2 = read_mp3(mp3_path)
+        assert sr2 == sr
+        # lame adds ~2100 samples of codec delay + padding; allow 0.25s
+        assert abs(len(decoded) - len(wav)) < 0.25 * sr
+
+        feats_mp3 = get_features(tmp_path, "a.mp3")
+        feats_wav = get_features(REF_WAV_DIR.parent, "wav/260-123440-1.wav")
+        assert feats_mp3.shape[1] == feats_wav.shape[1] == 80
+        n = min(len(feats_mp3), len(feats_wav))
+        # find the frame offset (encoder delay) with the best alignment
+        best = min(
+            float(np.mean(np.abs(feats_mp3[off:off + n - 20] - feats_wav[:n - 20])))
+            for off in range(0, 20))
+        assert best < 1.0, best  # log-mel features, typical range ~5-20

@@ -356,3 +356,80 @@ def _leaves(tree):
             yield from _leaves(v)
         else:
             yield v
+
+
+@needs_ref
+def test_conformer_encoder_parity(ref_modules):
+    """Converted conformer checkpoints (BatchNorm running stats mapped to
+    inference-form batch_norm_* params, conv_norm_type="batchnorm") match the
+    reference ConformerEncoder in eval mode
+    (joeynmt/transformer_layers.py:410-565, joeynmt/encoders.py:376-445).
+
+    Caveat: the reference ConformerEncoderLayer transposes (B, T, C) to
+    (T, B, C) around its conv_module call (transformer_layers.py:540-543),
+    which makes the depthwise conv run over the *batch* dimension — while
+    ConvolutionModule itself is written for (B, T, C) input (its pointwise/
+    depthwise convs treat dim 0 as batch, :461-470). We implement the intended
+    semantics (conv over time); this test neutralizes the reference's spurious
+    transposes so both compute the conformer as published (arXiv:2005.08100).
+    No hub checkpoint ships a conformer (hubconf.py:110-290), so there is no
+    published-weight behavior to preserve."""
+    del ref_modules  # fixture ensures joeynmt is importable with stubs
+    import jax.numpy as jnp
+
+    from joeynmt.encoders import ConformerEncoder as TorchConformer
+
+    from joeys2t_tpu.convert import torch_state_dict_to_flax
+    from joeys2t_tpu.models.encoders import ConformerEncoder as JaxConformer
+
+    torch.manual_seed(1)
+    h, ff, nh, nl = 32, 64, 4, 2
+    tenc = TorchConformer(hidden_size=h, ff_size=ff, num_layers=nl,
+                          num_heads=nh, dropout=0.0, emb_dropout=0.0,
+                          layer_norm="pre", alpha=1.0,
+                          depthwise_conv_kernel_size=5, in_channels=16,
+                          conv_channels=32, conv_kernel_sizes=[3, 3],
+                          pad_index=1)
+    # give the BatchNorms non-trivial running statistics (as a trained
+    # checkpoint would have) so the test can't pass with identity stats
+    with torch.no_grad():
+        for layer in tenc.layers:
+            bn = layer.conv_module.batch_norm
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.uniform_(0.5, 1.5)
+            bn.bias.uniform_(-0.5, 0.5)
+    tenc.eval()
+
+    # neutralize the reference's (B,T,C)->(T,B,C) transpose around
+    # conv_module (see docstring) so torch computes the intended conformer
+    class _Retranspose(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, x):
+            return self.inner(x.transpose(0, 1)).transpose(0, 1)
+
+    sd = {f"encoder.{k}": v for k, v in tenc.state_dict().items()}
+    for layer in tenc.layers:
+        layer.conv_module = _Retranspose(layer.conv_module)
+    flax_params = torch_state_dict_to_flax(sd)
+
+    jenc = JaxConformer(hidden_size=h, ff_size=ff, num_layers=nl, num_heads=nh,
+                        dropout=0.0, emb_dropout=0.0, layer_norm_position="pre",
+                        alpha=1.0, depthwise_conv_kernel_size=5, in_channels=16,
+                        conv_channels=32, conv_kernel_sizes=(3, 3), pad_index=1,
+                        conv_norm_type="batchnorm")
+
+    rng = np.random.RandomState(0)
+    b, t = 2, 25
+    src = rng.randn(b, t, 16).astype(np.float32)
+    lengths = np.array([25, 17])
+
+    with torch.no_grad():
+        t_out, _, t_mask = tenc(torch.tensor(src), torch.tensor(lengths), None)
+    j_out, _, j_mask = jenc.apply({"params": flax_params["encoder"]},
+                                  jnp.asarray(src), jnp.asarray(lengths), None)
+    np.testing.assert_array_equal(t_mask.numpy(), np.asarray(j_mask))
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(j_out), atol=5e-6)

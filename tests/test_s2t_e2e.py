@@ -51,7 +51,10 @@ def s2t_cfg(tmp: Path) -> dict:
         },
         "testing": {
             "n_best": 1, "beam_size": 1, "beam_alpha": 1.0, "batch_size": 4,
-            "batch_type": "sentence", "max_output_length": 32,
+            "batch_type": "sentence",
+            # reference transcripts are up to ~120 chars; 32 used to truncate
+            # every hypothesis and inflate WER (fixed per VERDICT r1 item 5)
+            "max_output_length": 130,
             "eval_metrics": ["wer"],
             "sacrebleu_cfg": {"tokenize": "13a", "lowercase": True},
         },
@@ -152,3 +155,56 @@ def test_s2t_transfer_partial_init():
     make_model_dir(Path(cfg2["model_dir"]))
     train(cfg2, skip_test=True)
     assert (Path(cfg2["model_dir"]) / "latest.ckpt").exists()
+
+
+@needs_ref
+def test_s2t_beam_wer_eval_protocol():
+    """Full eval protocol end-to-end (VERDICT r1 item 5): overfit the tiny
+    S2T model on the 10 reference wavs, then run the *test-mode* path —
+    beam k=5 + GNMT length penalty + corpus WER — through prediction.test()
+    and assert the WER, replicating the librispeech_960h.yaml protocol
+    (/root/reference/configs/librispeech_960h.yaml,
+    /root/reference/joeynmt/metrics.py:110-131)."""
+    import numpy as np
+
+    from joeys2t_tpu.config import parse_global_args
+    from joeys2t_tpu.prediction import predict, prepare, test as run_test
+
+    tmp = Path(tempfile.mkdtemp())
+    cfg = s2t_cfg(tmp)
+    cfg["training"].update(epochs=400, validation_freq=500, logging_freq=100,
+                           learning_rate=2.0e-3, learning_rate_warmup=30)
+    cfg["model"]["encoder"].update(hidden_size=64, ff_size=128,
+                                   conv_channels=64)
+    cfg["model"]["decoder"].update(hidden_size=64, ff_size=128)
+    cfg["model"]["decoder"]["embeddings"]["embedding_dim"] = 64
+    # overfitting run: no SpecAugment noise
+    del cfg["data"]["src"]["tokenizer_cfg"]["specaugment"]
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+
+    # beam k=5 with length penalty, librispeech_960h.yaml-style
+    cfg["testing"].update(beam_size=5, beam_alpha=1.0)
+
+    # 1) the real CLI test-mode path writes hypotheses per split
+    out_prefix = (tmp / "out").as_posix()
+    run_test(cfg, output_path=out_prefix)
+    hyp_file = Path(f"{out_prefix}.test")
+    assert hyp_file.is_file()
+    assert len(hyp_file.read_text().strip().split("\n")) == 10
+
+    # 2) assert corpus WER through the same predict() engine
+    args = parse_global_args(cfg, rank=0, mode="test")
+    model, spec, params, loss_fn, _, _, test_data = prepare(
+        args, rank=0, mode="test")
+    test_data.reset_indices(random_subset=-1)
+    scores, _, hyp, _, _, _ = predict(
+        params=params, model=model, spec=spec, data=test_data,
+        loss_fn=loss_fn, compute_loss=False, normalization="batch",
+        num_workers=0, args=args.test)
+    assert "wer" in scores
+    # overfit on 10 utterances: calibrated run reached WER ~56 after 400
+    # epochs (untrained ~100+, truncated-decode ~195); 80 bounds flakiness
+    # while still catching truncation/protocol regressions
+    assert scores["wer"] < 80.0, scores
+    assert all(len(h) > 0 for h in hyp)
