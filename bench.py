@@ -25,6 +25,87 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bench_beam_p50(model, spec, params, batch_size=32, n_frames=1000,
+                    beam_size=5, max_output_length=96, iters=3):
+    """Beam k=5 latency per utterance (BASELINE.json north star)."""
+    from joeys2t_tpu.search import beam_search
+
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
+    src_length = jnp.full((batch_size,), n_frames, jnp.int32)
+
+    @jax.jit
+    def encode(params, src, src_length):
+        return model.apply({"params": params}, src, src_length, None,
+                           method="encode")
+
+    enc_out, _, enc_mask = encode(params, src, src_length)
+    out = beam_search(params, model, spec, enc_out, None, enc_mask,
+                      beam_size, max_output_length, alpha=1.0, n_best=1)
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        enc_out, _, enc_mask = encode(params, src, src_length)
+        out, scores, _ = beam_search(params, model, spec, enc_out, None,
+                                     enc_mask, beam_size, max_output_length,
+                                     alpha=1.0, n_best=1)
+        assert isinstance(out, np.ndarray)  # host array == synced
+        times.append(time.perf_counter() - start)
+    p50 = sorted(times)[len(times) // 2]
+    return {"beam_p50_ms_per_utt": round(p50 / batch_size * 1e3, 2),
+            "beam_batch_size": batch_size, "beam_size": beam_size}
+
+
+def _bench_train_step(model, spec, params, batch_size=16, n_frames=1000,
+                      trg_len=48, iters=5):
+    """Training throughput: audio seconds consumed per wall second per chip."""
+    import optax
+
+    from joeys2t_tpu.losses import XentCTCLoss
+
+    rng = np.random.RandomState(2)
+    src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
+    src_length = jnp.full((batch_size,), n_frames, jnp.int32)
+    trg = jnp.asarray(
+        rng.randint(4, 1000, size=(batch_size, trg_len)).astype(np.int32))
+    trg_input = trg[:, :-1]
+    trg_out = trg[:, 1:]
+    trg_mask = jnp.ones((batch_size, 1, trg_len - 1), bool)
+    trg_length = jnp.full((batch_size,), trg_len - 1, jnp.int32)
+    loss_fn = XentCTCLoss(pad_index=spec.pad_index, bos_index=spec.bos_index,
+                          smoothing=0.1, ctc_weight=0.3)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, dummy):
+        def loss(p):
+            logits, ctc_logits, out_mask = model.apply(
+                {"params": p}, src + dummy, trg_input, src_length, None,
+                trg_mask, deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
+            total, _, _ = loss_fn(lp, trg=trg_out, trg_length=trg_length,
+                                  src_mask=out_mask, ctc_log_probs=ctc_lp)
+            return total / batch_size
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    p, o, l = train_step(params, opt_state, jnp.float32(0))
+    np.asarray(l)  # force completion (remote backend)
+    start = time.perf_counter()
+    for i in range(iters):
+        p, o, l = train_step(p, o, jnp.float32(i) * 1e-9)
+    np.asarray(l)
+    elapsed = (time.perf_counter() - start) / iters
+    audio_sec = batch_size * 10.0
+    return {"train_audio_sec_per_sec_per_chip": round(audio_sec / elapsed, 1),
+            "train_step_ms": round(elapsed * 1e3, 1),
+            "train_batch_size": batch_size}
+
+
 def main():
     from __graft_entry__ import _build
     from joeys2t_tpu.search import transformer_greedy
@@ -72,6 +153,18 @@ def main():
     rtfx = total_audio / elapsed
     utts_per_sec = batch_size * n_iters / elapsed
 
+    # remaining north stars (BASELINE.json): beam p50 latency + train
+    # throughput, so the driver-recorded JSON catches regressions there too
+    extra = {}
+    try:
+        extra.update(_bench_beam_p50(model, spec, params))
+    except Exception as e:  # never lose the headline metric
+        extra["beam_error"] = str(e)[:200]
+    try:
+        extra.update(_bench_train_step(model, spec, params))
+    except Exception as e:
+        extra["train_error"] = str(e)[:200]
+
     result = {
         "metric": "asr_greedy_decode_RTFx",
         "value": round(rtfx, 2),
@@ -84,6 +177,7 @@ def main():
             "max_output_length": max_output_length,
             "model": "librispeech_100h dims (16L enc, 8L dec, h512, bf16)",
             "device": str(jax.devices()[0]),
+            **extra,
         },
     }
     print(json.dumps(result))

@@ -140,7 +140,8 @@ class MultiHeadedAttention(nn.Module):
         q_h = self._split_heads(self.q_layer(q))
 
         if self._use_flash(q_h, k_h, mask, deterministic, return_weights):
-            from joeys2t_tpu.ops.flash_attention import mha_flash
+            from joeys2t_tpu.ops.flash_attention import (mha_flash,
+                                                         mha_flash_sharded)
 
             key_valid = None if mask is None else mask[:, 0, :]
             dropout_rate, seed = 0.0, None
@@ -149,9 +150,16 @@ class MultiHeadedAttention(nn.Module):
                 dropout_rate = self.dropout
                 key = self.make_rng("dropout")
                 seed = jax.random.key_data(key).ravel()[0].astype(jnp.int32)
-            context = mha_flash(q_h, k_h, v_h, key_valid,
-                                1.0 / math.sqrt(self.head_size),
-                                dropout_rate=dropout_rate, seed=seed)
+            sm = 1.0 / math.sqrt(self.head_size)
+            context = None
+            if jax.device_count() > 1:
+                # GSPMD: shard_map the kernel over the installed mesh
+                context = mha_flash_sharded(q_h, k_h, v_h, key_valid, sm,
+                                            dropout_rate=dropout_rate,
+                                            seed=seed)
+            if context is None:
+                context = mha_flash(q_h, k_h, v_h, key_valid, sm,
+                                    dropout_rate=dropout_rate, seed=seed)
             out = self.output_layer(self._merge_heads(context.astype(self.dtype)))
             return out, None
 
@@ -172,12 +180,22 @@ class MultiHeadedAttention(nn.Module):
             return True
         import jax
 
-        # 'auto': single TPU chip only. Under GSPMD multi-chip sharding a
-        # pallas_call has no partitioning rule, so the SPMD partitioner
-        # would replicate (or reject) it; the XLA einsum path shards
-        # cleanly. Explicit attn_impl="flash" overrides (e.g. inside a
-        # user-managed shard_map).
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.device_count() == 1:
+            return True
+        # 'auto' under GSPMD multi-chip sharding: a pallas_call has no SPMD
+        # partitioning rule, so flash stays on only when an installed mesh
+        # lets us shard_map it explicitly (batch over data, heads over
+        # model) — see ops.flash_attention.mha_flash_sharded. Otherwise the
+        # einsum path shards cleanly. Explicit attn_impl="flash" overrides
+        # (e.g. inside a user-managed shard_map).
+        from joeys2t_tpu.ops.flash_attention import _flash_shard_specs
+        from joeys2t_tpu.parallel.mesh import get_default_mesh
+
+        ctx = get_default_mesh()
+        return ctx is not None and _flash_shard_specs(
+            ctx.mesh, q_h.shape[0], q_h.shape[2]) is not None
 
     # ------------------------------------------------------------- decode ops
     def step_self(

@@ -316,3 +316,71 @@ def mha_flash(q_heads: jnp.ndarray, k_heads: jnp.ndarray, v_heads: jnp.ndarray,
         bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
     out = flash_attention(q, k, v, bias, sm_scale, dropout_rate, seed)
     return jnp.swapaxes(out, 1, 2)
+
+
+def _flash_shard_specs(mesh, b: int, h: int):
+    """PartitionSpecs for (B, T, H, D) activations on the (data, model) mesh,
+    or None when the shapes don't divide the mesh axes."""
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape.get("data", 1)
+    tp = mesh.shape.get("model", 1)
+    if b % dp != 0 or h % tp != 0:
+        return None
+    head_axis = "model" if tp > 1 else None
+    return {
+        "qkv": P("data", None, head_axis, None),
+        "mask": P("data", None),
+        "out": P("data", None, head_axis, None),
+    }
+
+
+def mha_flash_sharded(q_heads: jnp.ndarray, k_heads: jnp.ndarray,
+                      v_heads: jnp.ndarray,
+                      key_valid: Optional[jnp.ndarray], sm_scale: float,
+                      dropout_rate: float = 0.0,
+                      seed: Optional[jnp.ndarray] = None) -> Optional[jnp.ndarray]:
+    """mha_flash under GSPMD: explicitly shard_map the kernel over the
+    installed default mesh (batch over `data`, heads over `model` — the
+    Megatron attention layout from parallel/tp.py), so `attn_impl='auto'`
+    keeps the flash kernel active in sharded training instead of falling
+    back to the einsum path (VERDICT r1 item 3). Pallas calls have no SPMD
+    partitioning rule, so without this wrapper the partitioner would
+    replicate them. Returns None when no mesh is installed or the shapes
+    don't divide the mesh (caller falls back)."""
+    from joeys2t_tpu.parallel.mesh import get_default_mesh
+
+    ctx = get_default_mesh()
+    if ctx is None:
+        return None
+    mesh = ctx.mesh
+    if mesh.size == 1:
+        return mha_flash(q_heads, k_heads, v_heads, key_valid, sm_scale,
+                         dropout_rate, seed)
+    b, _, h, _ = q_heads.shape
+    specs = _flash_shard_specs(mesh, b, h)
+    if specs is None:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    if key_valid is None:
+        key_valid = jnp.ones((b, k_heads.shape[1]), bool)
+    seed_arr = _seed_arr(seed)  # (1, 1) int32, replicated
+
+    def body(q, k, v, valid, seed2d):
+        # decorrelate the in-kernel dropout streams across shards
+        local_seed = seed2d[0, 0]
+        if dropout_rate > 0.0:
+            di = jax.lax.axis_index("data")
+            mi = jax.lax.axis_index("model")
+            local_seed = local_seed + 7919 * di + 104729 * mi
+        return mha_flash(q, k, v, valid, sm_scale, dropout_rate,
+                         local_seed if dropout_rate > 0.0 else None)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs["qkv"], specs["qkv"], specs["qkv"], specs["mask"],
+                  P(None, None)),
+        out_specs=specs["out"],
+        check_vma=False)
+    return fn(q_heads, k_heads, v_heads, key_valid, seed_arr)

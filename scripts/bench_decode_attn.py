@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 # coding: utf-8
-"""Benchmark the Pallas decode-attention kernel vs the XLA einsum path at
-bench shapes (B=256, cross S=250, self S=97). All timings include ~1ms
-remote-dispatch floor; compare relative values."""
+"""Honest decode-attention micro-benchmark: run the op N times inside ONE
+jit with a q->ctx->q data dependency (no CSE, no per-call dispatch), and
+report the marginal per-iteration time from two loop lengths. This is the
+cost the decode while_loop actually pays per step."""
 import json
 import sys
 import time
@@ -14,14 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from joeys2t_tpu.ops.decode_attention import decode_attention, NEG_INF
+from joeys2t_tpu.ops.decode_attention import decode_attention
 
 
 def materialize(out):
     np.asarray(jax.tree.leaves(out)[0])
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+def timeit(fn, *args, iters=5, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
     materialize(out)
@@ -32,46 +33,69 @@ def timeit(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - start) / iters
 
 
+def marginal(loop_fn, n_lo=2, n_hi=12):
+    # loop count is a traced argument: ONE compile per variant
+    t_lo = timeit(lambda: loop_fn(n_lo))
+    t_hi = timeit(lambda: loop_fn(n_hi))
+    return (t_hi - t_lo) / (n_hi - n_lo)
+
+
 def run(tag, b, s, h, d):
     rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(b, h, d), jnp.bfloat16)
+    q0 = jnp.asarray(rng.randn(b, h, d), jnp.bfloat16)
     k = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16)
     bias = jnp.zeros((b, s), jnp.float32)
-    kb = k.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    ks = (jnp.max(jnp.abs(kf), axis=2) / 127.0 + 1e-8).astype(jnp.float32)
+    vs = (jnp.max(jnp.abs(v.astype(jnp.float32)), axis=2) / 127.0
+          + 1e-8).astype(jnp.float32)
+    k8 = jnp.clip(jnp.round(kf / ks[:, :, None, :]), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs[:, :, None, :]),
+                  -127, 127).astype(jnp.int8)
 
-    @jax.jit
-    def einsum_path(q, k, v, bias):
+    def xla_step(q, k, v):
         scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), k,
                             preferred_element_type=jnp.float32)
         scores = scores + bias[:, None, :]
         p = jax.nn.softmax(scores, -1).astype(jnp.bfloat16)
         return jnp.einsum("bhs,bhsd->bhd", p, v)
 
-    t_e = timeit(einsum_path, q, k.astype(jnp.bfloat16),
-                 v.astype(jnp.bfloat16), bias)
-    t_p = timeit(lambda *a: decode_attention(*a, sm_scale=1.0), q, k, v, bias)
+    def mk_loop(step):
+        @jax.jit
+        def f(q, n):
+            def body(_, q):
+                ctx = step(q)
+                return (q + 0.001 * ctx.astype(q.dtype))
+            q = jax.lax.fori_loop(0, n, body, q)
+            return q.astype(jnp.float32).sum()
+        return lambda n: f(q0, n)
 
-    # int8 per-channel
-    ks = jnp.max(jnp.abs(kb), axis=2) / 127.0 + 1e-8  # (B, H, D)
-    vs = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=2) / 127.0 + 1e-8
-    k8 = jnp.clip(jnp.round(kb / ks[:, :, None, :]), -127, 127).astype(jnp.int8)
-    v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs[:, :, None, :]),
-                  -127, 127).astype(jnp.int8)
-    t_p8 = timeit(lambda *a: decode_attention(*a, sm_scale=1.0),
-                  q, k8, v8, bias, ks.astype(jnp.float32),
-                  vs.astype(jnp.float32))
-
-    gb = (k.nbytes + v.nbytes) / 1e9
-    print(json.dumps({
-        "bench": tag, "b": b, "s": s,
-        "einsum_ms": round(t_e * 1e3, 3),
-        "pallas_bf16_ms": round(t_p * 1e3, 3),
-        "pallas_int8_ms": round(t_p8 * 1e3, 3),
-        "kv_GB": round(gb, 4),
-    }))
+    variants = {
+        "xla_bf16": lambda q: xla_step(q, k, v),
+        "pallas_bf16": lambda q: decode_attention(q, k, v, bias, sm_scale=1.0),
+        "pallas_int8": lambda q: decode_attention(q, k8, v8, bias, ks, vs,
+                                                  sm_scale=1.0),
+    }
+    gb = {"xla_bf16": (k.nbytes + v.nbytes),
+          "pallas_bf16": (k.nbytes + v.nbytes),
+          "pallas_int8": (k8.nbytes + v8.nbytes)}
+    out = {"bench": tag, "b": b, "s": s}
+    import os
+    only = os.environ.get("BENCH_VARIANT")
+    for name, step in variants.items():
+        if only and name != only:
+            continue
+        t = marginal(mk_loop(step))
+        out[f"{name}_ms"] = round(t * 1e3, 3)
+        out[f"{name}_GBps"] = round(gb[name] / t / 1e9, 1)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
-    run("cross", 256, 250, 4, 128)
-    run("self", 256, 97, 4, 128)
+    import os
+    tag = os.environ.get("BENCH_TAG", "both")
+    if tag in ("cross", "both"):
+        run("cross", 256, 250, 4, 128)
+    if tag in ("self", "both"):
+        run("self", 256, 97, 4, 128)

@@ -124,3 +124,73 @@ class TestDropout:
         i = (0, 0, 3, 5)
         fd = (loss(q.at[i].add(eps), k, v) - loss(q.at[i].add(-eps), k, v)) / (2 * eps)
         assert abs(float(fd) - float(g[0][i])) < 5e-2
+
+
+class TestShardedFlash:
+    """GSPMD story (VERDICT r1 item 3): flash stays active under multi-chip
+    sharding via an explicit shard_map over the (data, model) mesh."""
+
+    def _inputs(self, b=8, s=256, h=4, d=64, seed=7):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        lengths = rng.randint(s // 2, s + 1, size=(b,))
+        valid = jnp.asarray(np.arange(s)[None, :] < lengths[:, None])
+        return q, k, v, valid
+
+    def test_sharded_matches_einsum_on_4dev_mesh(self):
+        from joeys2t_tpu.ops.flash_attention import mha_flash_sharded
+        from joeys2t_tpu.parallel.mesh import (get_mesh, set_default_mesh)
+
+        q, k, v, valid = self._inputs()
+        sm = 1.0 / np.sqrt(q.shape[-1])
+
+        # einsum reference
+        qf = jnp.swapaxes(q, 1, 2) * sm
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qf, jnp.swapaxes(k, 1, 2))
+        scores = jnp.where(valid[:, None, None, :], scores, -1e9)
+        p = jax.nn.softmax(scores, -1)
+        ref = jnp.swapaxes(
+            jnp.einsum("bhqk,bhkd->bhqd", p, jnp.swapaxes(v, 1, 2)), 1, 2)
+
+        ctx = get_mesh(n_devices=4, model_parallel=2)  # data=2 x model=2
+        set_default_mesh(ctx)
+        try:
+            out = jax.jit(lambda *a: mha_flash_sharded(*a, sm))(q, k, v, valid)
+            assert out is not None
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+
+            # indivisible head count -> graceful None (caller falls back)
+            from joeys2t_tpu.ops.flash_attention import _flash_shard_specs
+            assert _flash_shard_specs(ctx.mesh, b=8, h=3) is None
+        finally:
+            set_default_mesh(None)
+
+    def test_auto_gate_uses_flash_when_mesh_installed(self):
+        """MultiHeadedAttention(attn_impl='flash') runs the sharded kernel
+        end-to-end on the 4-device mesh and matches the xla path."""
+        from joeys2t_tpu.models.modules import MultiHeadedAttention
+        from joeys2t_tpu.parallel.mesh import get_mesh, set_default_mesh
+
+        b, s, hsize, heads = 8, 256, 256, 4  # head dim 64: kernel-eligible
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(b, s, hsize), jnp.float32)
+        mask = jnp.ones((b, 1, s), bool)
+
+        outs = {}
+        ctx = get_mesh(n_devices=4, model_parallel=2)
+        set_default_mesh(ctx)
+        try:
+            for impl in ("xla", "flash"):
+                mha = MultiHeadedAttention(num_heads=heads, size=hsize,
+                                           dropout=0.0, attn_impl=impl)
+                params = mha.init({"params": jax.random.PRNGKey(0)}, x, x, x,
+                                  mask)["params"]
+                outs[impl] = mha.apply({"params": params}, x, x, x, mask)[0]
+        finally:
+            set_default_mesh(None)
+        np.testing.assert_allclose(np.asarray(outs["flash"]),
+                                   np.asarray(outs["xla"]),
+                                   atol=2e-4, rtol=2e-4)

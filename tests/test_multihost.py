@@ -126,3 +126,113 @@ def test_two_process_data_parallel_train_step():
         losses.append(float(line.split()[-1]))
     # the global loss must be identical on both ranks (one SPMD program)
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+PREDICT_WORKER = textwrap.dedent("""
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    nproc = int(sys.argv[3])
+    cfg_path = sys.argv[4]
+    if nproc > 1:
+        jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                                   num_processes=nproc, process_id=pid)
+    sys.path.insert(0, %r)
+    import yaml
+    from joeys2t_tpu.config import parse_global_args
+    from joeys2t_tpu.prediction import prepare, predict
+
+    cfg = yaml.safe_load(open(cfg_path))
+    args = parse_global_args(cfg, rank=pid, mode="test")
+    model, spec, params, loss_fn, _, dev_data, _ = prepare(
+        args, rank=pid, mode="test")
+    dev_data.reset_indices(random_subset=-1)
+    scores, _, hyp, _, _, _ = predict(
+        params=params, model=model, spec=spec, data=dev_data,
+        loss_fn=loss_fn, compute_loss=False, normalization="batch",
+        num_workers=0, args=args.test)
+    print("HYPS " + json.dumps(hyp), flush=True)
+""")
+
+
+@pytest.mark.skipif(os.environ.get("JOEYS2T_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_predict_order_matches_single_process(tmp_path):
+    """Multi-process evaluation contract (joeynmt/prediction.py:220-257):
+    hypotheses come back complete and in dataset order on every process.
+    Our design decodes the full eval set on each process instead of
+    shard + all_gather + reorder (joeys2t_tpu/data/datasets.py make_iter
+    note); this test pins the observable semantics: a 2-process predict()
+    equals the single-process result, rank for rank."""
+    import json
+    import socket
+
+    import yaml
+
+    sys.path.insert(0, (REPO / "scripts").as_posix())
+    from generate_reverse_task import generate_samples
+
+    from joeys2t_tpu.helpers import make_model_dir
+    from joeys2t_tpu.training import train
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for split, n, seed in [("train", 60, 1), ("dev", 12, 2), ("test", 6, 3)]:
+        src, trg = generate_samples(n, high=10, min_len=3, max_len=8, seed=seed)
+        (data_dir / f"{split}.src").write_text("\n".join(src) + "\n")
+        (data_dir / f"{split}.trg").write_text("\n".join(trg) + "\n")
+
+    cfg = yaml.safe_load(open(REPO / "configs/transformer_reverse.yaml"))
+    cfg["model_dir"] = (tmp_path / "model").as_posix()
+    cfg["data"].update(
+        train=(data_dir / "train").as_posix(),
+        dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "test").as_posix(),
+        sample_train_subset=-1, sample_dev_subset=-1)
+    cfg["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+                           batch_size=16, batch_multiplier=1)
+    cfg["testing"].update(load_model=None, batch_size=5)  # uneven final batch
+    for side in ("encoder", "decoder"):
+        cfg["model"][side].update(num_layers=1, hidden_size=16, ff_size=32)
+        cfg["model"][side]["embeddings"]["embedding_dim"] = 16
+
+    # single-process training produces the shared checkpoint + vocab files
+    import copy
+
+    cfg_pristine = copy.deepcopy(cfg)  # train() mutates cfg in place
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_pristine))
+
+    def run_predict(nproc):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        code = PREDICT_WORKER % (REPO.as_posix(),)
+        env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": ""}
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", code, str(i), port, str(nproc),
+             cfg_path.as_posix()],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(nproc)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode())
+        hyps = []
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+            line = [ln for ln in out.splitlines() if ln.startswith("HYPS ")][0]
+            hyps.append(json.loads(line[5:]))
+        return hyps
+
+    single = run_predict(1)[0]
+    double = run_predict(2)
+    assert len(single) == 12
+    # every rank yields the full set, in dataset order, equal to 1-process
+    assert double[0] == single
+    assert double[1] == single
