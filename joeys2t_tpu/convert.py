@@ -14,9 +14,11 @@ mapping (torch module path -> flax tree path):
   encoder.subsampler.conv_layers.N      -> encoder/subsampler/conv_N
                                            (conv weight (out,in,k)->(k,in,out))
   decoder.{output,ctc_output}_layer     -> decoder/{output,ctc_output}_layer
-
-Recurrent (GRU/LSTM) and conformer (BatchNorm) checkpoints are not supported
-for conversion (the conformer's BatchNorm has no LayerNorm equivalent here).
+  *.rnn.weight_ih_l{k}[_reverse] etc.   -> gate-split flax GRU/LSTM cells
+                                           (_convert_rnn_cell; bias pairs
+                                           summed where redundant)
+  conv_module.batch_norm.*              -> batch_norm_{scale,bias,mean,var}
+                                           (inference-form BN, conformer)
 """
 from typing import Dict
 
@@ -38,13 +40,21 @@ def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
     """Convert a joeynmt model_state dict (name -> tensor/ndarray) into the
     flax param tree of the equivalent Seq2SeqModel."""
     tree: Dict = {}
+    rnn_groups: Dict = {}
     for name, tensor in state_dict.items():
         value = np.asarray(getattr(tensor, "numpy", lambda: tensor)())
         parts = name.split(".")
         if "rnn" in parts:
-            raise NotImplementedError(
-                f"Cannot convert parameter {name}: recurrent checkpoints "
-                "are not supported.")
+            # torch nn.GRU/nn.LSTM flat tensors; gate-split after the loop
+            # (bias pairs must be combined)
+            side = parts[0]  # encoder | decoder
+            leaf = parts[-1]  # e.g. weight_ih_l0_reverse
+            reverse = leaf.endswith("_reverse")
+            if reverse:
+                leaf = leaf[: -len("_reverse")]
+            kind, layer = leaf.rsplit("_l", 1)
+            rnn_groups.setdefault((side, int(layer), reverse), {})[kind] = value
+            continue
         if parts[-1] == "num_batches_tracked":  # BN bookkeeping, not needed
             continue
 
@@ -104,7 +114,54 @@ def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
             path.append(p)
             i += 1
         _set(tree, tuple(path), value)
+
+    for (side, layer, reverse), g in rnn_groups.items():
+        _convert_rnn_cell(tree, side, layer, reverse, g)
     return tree
+
+
+def _convert_rnn_cell(tree: Dict, side: str, layer: int, reverse: bool,
+                      g: Dict) -> None:
+    """Split torch nn.GRU/nn.LSTM flat layer tensors into flax cell params.
+
+    torch packs gates row-wise: GRU [r; z; n] (each H rows), LSTM
+    [i; f; g; o]. flax GRUCell/OptimizedLSTMCell keep one Dense per gate
+    and drop the redundant second bias on the sigmoid gates, so the torch
+    bias pairs are summed where both act pre-activation (exact identity:
+    sigma(x + b1 + b2) = sigma(x + (b1+b2))); the GRU candidate keeps
+    b_hn inside the r-gated term like torch does."""
+    w_ih, w_hh = g["weight_ih"], g["weight_hh"]
+    b_ih = g.get("bias_ih")
+    b_hh = g.get("bias_hh")
+    h = w_hh.shape[1]
+    n_gates = w_ih.shape[0] // h
+    assert n_gates in (3, 4), (side, layer, w_ih.shape)
+
+    def rows(mat, i):
+        return mat[i * h:(i + 1) * h]
+
+    if side == "encoder":
+        cell_path = (f"{'bwd' if reverse else 'fwd'}_l{layer}", "cell_0")
+    else:
+        cell_path = ("rnn", f"cell_{layer}")
+    base = (side,) + cell_path
+
+    if n_gates == 3:  # GRU: gates r, z, n
+        for i, gate in enumerate("rzn"):
+            _set(tree, base + (f"i{gate}", "kernel"), rows(w_ih, i).T)
+            _set(tree, base + (f"h{gate}", "kernel"), rows(w_hh, i).T)
+        if b_ih is not None:
+            _set(tree, base + ("ir", "bias"), rows(b_ih, 0) + rows(b_hh, 0))
+            _set(tree, base + ("iz", "bias"), rows(b_ih, 1) + rows(b_hh, 1))
+            _set(tree, base + ("in", "bias"), rows(b_ih, 2))
+            _set(tree, base + ("hn", "bias"), rows(b_hh, 2))
+    else:  # LSTM: gates i, f, g, o
+        for i, gate in enumerate("ifgo"):
+            _set(tree, base + (f"i{gate}", "kernel"), rows(w_ih, i).T)
+            _set(tree, base + (f"h{gate}", "kernel"), rows(w_hh, i).T)
+            if b_ih is not None:
+                _set(tree, base + (f"h{gate}", "bias"),
+                     rows(b_ih, i) + rows(b_hh, i))
 
 
 def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:

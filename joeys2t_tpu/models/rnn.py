@@ -68,7 +68,12 @@ class _StackedCells(nn.Module):
 
 
 class RecurrentEncoder(nn.Module):
-    """Bidirectional multi-layer RNN encoder (joeynmt/encoders.py:38-172)."""
+    """Bidirectional multi-layer RNN encoder (joeynmt/encoders.py:38-172).
+
+    Directions interleave per layer like torch ``nn.GRU/nn.LSTM``
+    (bidirectional=True): layer k>0 consumes the concatenation of both
+    directions of layer k-1 — required for torch-checkpoint conversion
+    parity (joeynmt/encoders.py:75-82 uses torch's packed RNN)."""
 
     rnn_type: str = "gru"
     hidden_size: int = 1
@@ -92,16 +97,20 @@ class RecurrentEncoder(nn.Module):
             out_axes=0,
         )
         kwargs = dict(rnn_type=self.rnn_type, hidden_size=self.hidden_size,
-                      num_layers=self.num_layers, dropout=self.dropout)
-        self.fwd_cells = scan_cls(**kwargs, name="fwd")
+                      num_layers=1, dropout=0.0)
+        self.fwd_cells = [scan_cls(**kwargs, name=f"fwd_l{i}")
+                          for i in range(self.num_layers)]
         if self.bidirectional:
-            self.bwd_cells = scan_cls(**kwargs, name="bwd")
+            self.bwd_cells = [scan_cls(**kwargs, name=f"bwd_l{i}")
+                              for i in range(self.num_layers)]
         self.emb_dropout_layer = nn.Dropout(rate=self.emb_dropout)
+        # torch applies dropout between stacked RNN layers (not after last)
+        self.layer_dropouts = [nn.Dropout(rate=self.dropout)
+                               for _ in range(max(self.num_layers - 1, 0))]
 
-    def _run(self, cells, x, lengths, reverse: bool, deterministic: bool):
+    def _run(self, cells, x, valid, reverse: bool, deterministic: bool):
         b, t, _ = x.shape
-        carry0 = init_stack_carry(self.rnn_type, self.num_layers, self.hidden_size, b)
-        valid = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
+        carry0 = init_stack_carry(self.rnn_type, 1, self.hidden_size, b)
         xs = jnp.moveaxis(x, 1, 0)  # (T, B, E)
         vs = jnp.moveaxis(valid, 1, 0)
         if reverse:
@@ -118,19 +127,32 @@ class RecurrentEncoder(nn.Module):
         """Returns (output (B, T, dirs*H), hidden_concat (B, dirs*H), None)."""
         del mask, src_prompt_embed
         x = self.emb_dropout_layer(src_embed, deterministic=deterministic)
-        fwd_carry, fwd_out = self._run(self.fwd_cells, x, src_length, False, deterministic)
+        b, t, _ = x.shape
+        valid = jnp.arange(t)[None, :] < src_length[:, None]  # (B, T)
 
         def top_h(carry):
             c = carry[-1]
             return c[1] if isinstance(c, tuple) else c
 
+        fwd_carry = bwd_carry = None
+        for i in range(self.num_layers):
+            fwd_carry, fwd_out = self._run(self.fwd_cells[i], x, valid, False,
+                                           deterministic)
+            if self.bidirectional:
+                bwd_carry, bwd_out = self._run(self.bwd_cells[i], x, valid,
+                                               True, deterministic)
+                x = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+            else:
+                x = fwd_out
+            if i < self.num_layers - 1:
+                x = self.layer_dropouts[i](x, deterministic=deterministic)
+
         if self.bidirectional:
-            bwd_carry, bwd_out = self._run(self.bwd_cells, x, src_length, True, deterministic)
-            output = jnp.concatenate([fwd_out, bwd_out], axis=-1)
-            hidden_concat = jnp.concatenate([top_h(fwd_carry), top_h(bwd_carry)], axis=-1)
+            hidden_concat = jnp.concatenate(
+                [top_h(fwd_carry), top_h(bwd_carry)], axis=-1)
         else:
-            output, hidden_concat = fwd_out, top_h(fwd_carry)
-        return output, hidden_concat, None
+            hidden_concat = top_h(fwd_carry)
+        return x, hidden_concat, None
 
 
 class BahdanauAttention(nn.Module):

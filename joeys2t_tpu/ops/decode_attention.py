@@ -40,47 +40,115 @@ NEG_INF = -1e9
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
-            sm_scale: float, scale_layout: str, num_heads: int):
-    """One batch element: q (1,H,D) x K/V (1,H,S,D) -> ctx (1,H,D)."""
-    bias = bias_ref[0].astype(jnp.float32)  # (1, S)
+            sm_scale: float, scale_layout: str, num_heads: int, bb: int):
+    """A block of bb batch rows: q (bb,H,D) x K/V (bb,H,S,D) -> ctx (bb,H,D).
 
-    for h in range(num_heads):  # H is small (4-16); static unroll
-        q = q_ref[0, h][None, :].astype(jnp.float32) * sm_scale  # (1, D)
-        if scale_layout == "channel":
-            # fold per-channel K scales into q: scores = (q*ks) . k_i8
-            q = q * ks_ref[0, h].astype(jnp.float32)  # (1, D)
+    The (bb*H) per-row matvecs are batched into TWO MXU matmuls per program
+    via a block-diagonal formulation (64 tiny matvecs leave the kernel
+    compute-bound; one (bb*H*S, D) x (D, bb*H) dot is HBM-bound again):
 
-        k = k_ref[0, h]  # (S, D) bf16 or int8
-        # scores[s] = sum_d q[d] * k[s, d]
-        scores = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (1, S)
+      G        = K_flat @ Q^T          (bb*H*S, bb*H) — extra columns wasted
+      scores_r = G[r, r // S]          (diagonal-block select, VPU gather)
+      P_bd     = block_diag(softmax)   (bb*H, bb*H*S) masked broadcast
+      ctx      = P_bd @ V_flat         (bb*H, D)
 
-        if scale_layout == "position":
-            scores = scores * ks_ref[0, h].astype(jnp.float32)[None, :]
+    Dots run in bf16 on the MXU with f32 accumulation (a f32 dot would be
+    8x slower); int8 caches are upcast to bf16 on the VPU in VMEM (no HBM
+    round-trip)."""
+    s = k_ref.shape[2]
+    d = k_ref.shape[3]
+    n_rows = bb * num_heads
 
-        scores = scores + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (1, S) f32
+    q = q_ref[...].astype(jnp.float32) * sm_scale  # (bb, H, D)
+    if scale_layout == "channel":
+        q = q * ks_ref[...].astype(jnp.float32)  # fold K scales into q
+    q_mat = q.reshape(n_rows, d).astype(jnp.bfloat16)  # (R, D)
 
-        if scale_layout == "position":
-            p = p * vs_ref[0, h].astype(jnp.float32)[None, :]
+    k_flat = k_ref[...].astype(jnp.bfloat16).reshape(n_rows * s, d)
+    # G[r*S+s', r'] = k[r, s'] . q[r']; we need the r'==r diagonal blocks
+    g = jax.lax.dot_general(
+        k_flat, q_mat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R*S, R)
+    row_block = jax.lax.broadcasted_iota(jnp.int32, (n_rows * s, 1), 0) // s
+    scores = jnp.take_along_axis(g, row_block, axis=1).reshape(n_rows, s)
 
-        # ctx[d] = sum_s p[s] * v[s, d]
-        ctx = jax.lax.dot_general(
-            p, v_ref[0, h].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (1, D)
+    if scale_layout == "position":
+        scores = scores * ks_ref[...].astype(jnp.float32).reshape(n_rows, s)
 
-        if scale_layout == "channel":
-            ctx = ctx * vs_ref[0, h].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)  # (bb, 1, S)
+    scores = scores + jnp.broadcast_to(
+        bias, (bb, num_heads, s)).reshape(n_rows, s)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (R, S) f32
 
-        o_ref[0, h] = ctx[0].astype(o_ref.dtype)
+    if scale_layout == "position":
+        p = p * vs_ref[...].astype(jnp.float32).reshape(n_rows, s)
+
+    # block-diagonal P: row r keeps its own S-slice, zero elsewhere
+    col_block = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows * s), 1) // s
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows * s), 0)
+    p_bd = jnp.where(col_block == row_id,
+                     jnp.broadcast_to(p.reshape(1, n_rows * s),
+                                      (n_rows, n_rows * s)),
+                     0.0).astype(jnp.bfloat16)
+    v_flat = v_ref[...].astype(jnp.bfloat16).reshape(n_rows * s, d)
+    ctx = jax.lax.dot_general(
+        p_bd, v_flat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, D)
+    ctx = ctx.reshape(bb, num_heads, d)
+
+    if scale_layout == "channel":
+        ctx = ctx * vs_ref[...].astype(jnp.float32)
+
+    o_ref[...] = ctx.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def _kernel_loop(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
+                 sm_scale: float, scale_layout: str, num_heads: int, bb: int):
+    """Reference per-head-matvec variant (kept for comparison/debugging)."""
+    for b in range(bb):
+        bias = bias_ref[b].astype(jnp.float32)  # (1, S)
+        for h in range(num_heads):  # H is small (4-16); static unroll
+            q = q_ref[b, h][None, :].astype(jnp.float32) * sm_scale  # (1, D)
+            if scale_layout == "channel":
+                # fold per-channel K scales into q: scores = (q*ks) . k_i8
+                q = q * ks_ref[b, h].astype(jnp.float32)  # (1, D)
+
+            k = k_ref[b, h]  # (S, D) bf16 or int8
+            # scores[s] = sum_d q[d] * k[s, d]
+            scores = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (1, S)
+
+            if scale_layout == "position":
+                scores = scores * ks_ref[b, h].astype(jnp.float32)[None, :]
+
+            scores = scores + bias
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)  # (1, S) f32
+
+            if scale_layout == "position":
+                p = p * vs_ref[b, h].astype(jnp.float32)[None, :]
+
+            # ctx[d] = sum_s p[s] * v[s, d]
+            ctx = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_ref[b, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (1, D)
+
+            if scale_layout == "channel":
+                ctx = ctx * vs_ref[b, h].astype(jnp.float32)
+
+            o_ref[b, h] = ctx[0].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret",
+                                             "batch_block"))
 def decode_attention(
     q: jnp.ndarray,  # (B, H, D)
     k: jnp.ndarray,  # (B, H, S, D) bf16/f32 or int8
@@ -91,9 +159,13 @@ def decode_attention(
     *,
     sm_scale: float = 1.0,
     interpret: bool = False,
+    batch_block: int = 8,
 ) -> jnp.ndarray:
     """Single-step attention context (B, H, D) with fused int8 dequant."""
     b, h, s, d = k.shape
+    bb = batch_block
+    while b % bb != 0:  # batch must tile evenly; fall back to smaller blocks
+        bb //= 2
     if k_scale is None:
         scale_layout = "none"
         # dummy refs so the kernel signature is uniform
@@ -107,29 +179,29 @@ def decode_attention(
     assert v_scale is not None and v_scale.shape == k_scale.shape
 
     last = d if scale_layout in ("channel", "none") else s
-    scale_spec = pl.BlockSpec((1, h, last), lambda i: (i, 0, 0),
+    scale_spec = pl.BlockSpec((bb, h, last), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, sm_scale=sm_scale,
-                               scale_layout=scale_layout, num_heads=h)
+                               scale_layout=scale_layout, num_heads=h, bb=bb)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, h, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, h, s, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, h, s, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             # (B, 1, S): trailing block dims must be divisible by (8, 128)
             # or equal to the array dims (Mosaic tiling constraint)
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             scale_spec,
             scale_spec,
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, h, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         cost_estimate=pl.CostEstimate(
