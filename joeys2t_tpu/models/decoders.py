@@ -46,8 +46,12 @@ class TransformerDecoder(nn.Module):
     # opt-in int8 storage for the precomputed cross-attention K/V cache:
     # halves the dominant HBM traffic of the decode loop (the cross cache is
     # re-read every step); per-(head, channel) symmetric scales, dequantized
-    # in the attention fusion. No reference equivalent (serving optimization).
+    # inside the Pallas decode-attention kernel (in VMEM — no extra HBM
+    # round-trip). No reference equivalent (serving optimization).
     cache_cross_int8: bool = False
+    # opt-in int8 self-attention ring buffer: per-(b, h, position) scales
+    # written slot-by-slot as tokens are emitted.
+    cache_self_int8: bool = False
     remat: bool = False  # jax.checkpoint per layer; see encoders.py
     sequence_parallel: bool = False  # see encoders.py / parallel/mesh.py
 
@@ -137,20 +141,27 @@ class TransformerDecoder(nn.Module):
     def init_cache(self, encoder_output: jnp.ndarray, max_len: int,
                    cache_dtype: Any = None) -> Dict[str, Dict[str, jnp.ndarray]]:
         """Build the decode cache: precomputed cross K/V per layer + zeroed
-        self-attention ring buffers of length ``max_len``."""
+        self-attention ring buffers of length ``max_len``.
+
+        Layout is (B, H, S, D): per-head K/V slabs are contiguous, which the
+        Pallas decode-attention kernel streams directly
+        (ops/decode_attention.py) and the einsum fallback contracts without
+        transposes."""
         cache_dtype = cache_dtype or self.dtype
         b = encoder_output.shape[0]
         head_size = self.hidden_size // self.num_heads
         cache = {}
 
-        def quantize(x):  # (B, S, H, Dh) -> int8 values + per-channel scales
-            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+        def quantize(x):  # (B, H, S, Dh) -> int8 values + (B, H, Dh) scales
+            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
                             keepdims=True) / 127.0 + 1e-8
             q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-            return q.astype(jnp.int8), scale
+            return q.astype(jnp.int8), scale[:, :, 0, :].astype(jnp.float32)
 
         for i, layer in enumerate(self.layers):
-            ck, cv = layer.precompute_cross_kv(encoder_output)
+            ck, cv = layer.precompute_cross_kv(encoder_output)  # (B, S, H, D)
+            ck = jnp.swapaxes(ck, 1, 2)  # (B, H, S, D)
+            cv = jnp.swapaxes(cv, 1, 2)
             if self.cache_cross_int8:
                 ck_q, ck_s = quantize(ck)
                 cv_q, cv_s = quantize(cv)
@@ -159,11 +170,20 @@ class TransformerDecoder(nn.Module):
             else:
                 cross = {"cross_k": ck.astype(cache_dtype),
                          "cross_v": cv.astype(cache_dtype)}
-            cache[f"layer_{i}"] = {
-                **cross,
-                "self_k": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
-                "self_v": jnp.zeros((b, max_len, self.num_heads, head_size), cache_dtype),
-            }
+            shape = (b, self.num_heads, max_len, head_size)
+            if self.cache_self_int8:
+                own = {
+                    "self_k": jnp.zeros(shape, jnp.int8),
+                    "self_v": jnp.zeros(shape, jnp.int8),
+                    "self_k_scale": jnp.zeros(shape[:3], jnp.float32),
+                    "self_v_scale": jnp.zeros(shape[:3], jnp.float32),
+                }
+            else:
+                own = {
+                    "self_k": jnp.zeros(shape, cache_dtype),
+                    "self_v": jnp.zeros(shape, cache_dtype),
+                }
+            cache[f"layer_{i}"] = {**cross, **own}
         return cache
 
     def decode_step(
@@ -177,7 +197,7 @@ class TransformerDecoder(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
         """One decode step. Returns (logits (B, 1, V), new_cache, cross_att)."""
         size = trg_embed_t.shape[2]
-        max_len = cache["layer_0"]["self_k"].shape[1]
+        max_len = cache["layer_0"]["self_k"].shape[2]  # (B, H, S_max, Dh)
         pe = sinusoidal_pe(max_len, size).astype(trg_embed_t.dtype)
         pe_t = jax.lax.dynamic_slice(pe, (index, 0), (1, size))
         x = trg_embed_t + pe_t[None, :, :]

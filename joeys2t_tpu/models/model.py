@@ -311,6 +311,8 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             attn_impl=cfg.get("attention_impl", dec_cfg.get("attention_impl", "auto")),
             cache_cross_int8=bool(cfg.get("cache_cross_int8",
                                           dec_cfg.get("cache_cross_int8", False))),
+            cache_self_int8=bool(cfg.get("cache_self_int8",
+                                         dec_cfg.get("cache_self_int8", False))),
             remat=bool(cfg.get("remat", dec_cfg.get("remat", False))),
             sequence_parallel=bool(cfg.get("sequence_parallel", False)),
             dtype=compute_dtype,

@@ -198,43 +198,123 @@ class MultiHeadedAttention(nn.Module):
             ctx.mesh, q_h.shape[0], q_h.shape[2]) is not None
 
     # ------------------------------------------------------------- decode ops
+    def _use_decode_kernel(self) -> bool:
+        """Pallas decode-attention kernel eligibility: streams the KV cache
+        at HBM bandwidth with in-VMEM int8 dequant (ops/decode_attention.py).
+        The einsum path remains for 'xla', off-TPU backends, sharded decode
+        (the kernel has no SPMD partitioning rule), and attention-weight
+        returns."""
+        if self.attn_impl == "xla":
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+    def _decode_einsum(self, q_h, k, v, bias, k_scale, v_scale,
+                       scale_layout=None, return_weights=False):
+        """Fallback decode attention on (B, H, S, D) caches with optional
+        int8 dequant. q_h: (B, 1, H, D); bias: (B, S) additive."""
+        if k.dtype == jnp.int8:
+            if scale_layout == "position":  # (B, H, S)
+                k = k.astype(self.dtype) * k_scale[..., None].astype(self.dtype)
+                v = v.astype(self.dtype) * v_scale[..., None].astype(self.dtype)
+            else:  # per-channel (B, H, D)
+                k = k.astype(self.dtype) * k_scale[:, :, None, :].astype(self.dtype)
+                v = v.astype(self.dtype) * v_scale[:, :, None, :].astype(self.dtype)
+        q_h = q_h / math.sqrt(self.head_size)
+        scores = jnp.einsum("bqhd,bhkd->bhqk", q_h, k.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        scores = scores + bias[:, None, None, :]
+        weights = jax.nn.softmax(scores, axis=-1)  # f32
+        ctx = jnp.einsum("bhqk,bhkd->bqhd", weights.astype(self.dtype),
+                         v.astype(self.dtype))
+        out = self.output_layer(self._merge_heads(ctx))
+        if return_weights:
+            return out, jnp.mean(weights, axis=1)
+        return out, None
+
     def step_self(
         self,
         q: jnp.ndarray,  # (B, 1, size)
-        cache_k: jnp.ndarray,  # (B, S_max, H, Dh)
+        cache_k: jnp.ndarray,  # (B, H, S_max, Dh), bf16/f32 or int8
         cache_v: jnp.ndarray,
         index: jnp.ndarray,  # scalar int32: current position
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One self-attention decode step with KV cache update.
+        k_scale: Optional[jnp.ndarray] = None,  # (B, H, S_max) when int8
+        v_scale: Optional[jnp.ndarray] = None,
+    ):
+        """One self-attention decode step with KV ring-buffer update.
 
-        Returns (output (B, 1, size), new_cache_k, new_cache_v).
+        Returns (output (B, 1, size), new_k, new_v, new_k_scale, new_v_scale).
         """
+        from joeys2t_tpu.ops.decode_attention import (decode_attention,
+                                                      quantize_per_position)
+
         k_h, v_h = self.project_kv(q)  # (B, 1, H, Dh)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_h.astype(cache_k.dtype),
-                                               (0, index, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_h.astype(cache_v.dtype),
-                                               (0, index, 0, 0))
-        q_h = self._split_heads(self.q_layer(q))
-        s_max = cache_k.shape[1]
-        valid = (jnp.arange(s_max) <= index)[None, None, None, :]  # causal validity
-        out, _ = self._attend(q_h, cache_k.astype(self.dtype), cache_v.astype(self.dtype),
-                              valid, deterministic=True)
-        return out, cache_k, cache_v
+        k_h = jnp.swapaxes(k_h, 1, 2)  # (B, H, 1, Dh)
+        v_h = jnp.swapaxes(v_h, 1, 2)
+        if cache_k.dtype == jnp.int8:
+            k_q, k_s = quantize_per_position(k_h)
+            v_q, v_s = quantize_per_position(v_h)
+            cache_k = jax.lax.dynamic_update_slice(cache_k, k_q,
+                                                   (0, 0, index, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, v_q,
+                                                   (0, 0, index, 0))
+            k_scale = jax.lax.dynamic_update_slice(k_scale, k_s, (0, 0, index))
+            v_scale = jax.lax.dynamic_update_slice(v_scale, v_s, (0, 0, index))
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_h.astype(cache_k.dtype), (0, 0, index, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_h.astype(cache_v.dtype), (0, 0, index, 0))
+
+        q_h = self._split_heads(self.q_layer(q))  # (B, 1, H, Dh)
+        b = q_h.shape[0]
+        s_max = cache_k.shape[2]
+        valid = jnp.arange(s_max) <= index
+        bias = jnp.broadcast_to(
+            jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :],
+            (b, s_max))
+        if self._use_decode_kernel():
+            ctx = decode_attention(
+                q_h[:, 0].astype(self.dtype), cache_k, cache_v, bias,
+                k_scale, v_scale, sm_scale=1.0 / math.sqrt(self.head_size),
+                scale_layout=None if k_scale is None else "position")
+            out = self.output_layer(ctx.reshape(b, 1, -1).astype(self.dtype))
+        else:
+            out, _ = self._decode_einsum(q_h, cache_k, cache_v, bias,
+                                         k_scale, v_scale,
+                                         scale_layout="position")
+        return out, cache_k, cache_v, k_scale, v_scale
 
     def step_cross(
         self,
         q: jnp.ndarray,  # (B, 1, size)
-        k_h: jnp.ndarray,  # precomputed (B, S, H, Dh)
+        k_h: jnp.ndarray,  # precomputed (B, H, S, Dh), bf16/f32 or int8
         v_h: jnp.ndarray,
         mask: Optional[jnp.ndarray],  # (B, 1, S) bool
+        k_scale: Optional[jnp.ndarray] = None,  # (B, H, Dh) when int8
+        v_scale: Optional[jnp.ndarray] = None,
         return_weights: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """One cross-attention decode step against precomputed K/V."""
-        q_h = self._split_heads(self.q_layer(q))
-        if mask is not None:
-            mask = mask[:, None, :, :]
-        return self._attend(q_h, k_h.astype(self.dtype), v_h.astype(self.dtype), mask,
-                            deterministic=True, return_weights=return_weights)
+        from joeys2t_tpu.ops.decode_attention import decode_attention
+
+        q_h = self._split_heads(self.q_layer(q))  # (B, 1, H, Dh)
+        b, s = q_h.shape[0], k_h.shape[2]
+        if mask is None:
+            bias = jnp.zeros((b, s), jnp.float32)
+        else:
+            bias = jnp.where(mask[:, 0, :], 0.0, NEG_INF).astype(jnp.float32)
+        if self._use_decode_kernel() and not return_weights:
+            ctx = decode_attention(
+                q_h[:, 0].astype(self.dtype), k_h, v_h, bias,
+                k_scale, v_scale, sm_scale=1.0 / math.sqrt(self.head_size),
+                scale_layout=None if k_scale is None else "channel")
+            return self.output_layer(
+                ctx.reshape(b, 1, -1).astype(self.dtype)), None
+        return self._decode_einsum(q_h, k_h, v_h, bias, k_scale, v_scale,
+                                   scale_layout="channel",
+                                   return_weights=return_weights)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -473,8 +553,13 @@ class TransformerDecoderLayer(nn.Module):
         residual = x
         if self.layer_norm_position == "pre":
             x = self.x_layer_norm(x).astype(self.dtype)
-        h1, new_k, new_v = self.trg_trg_att.step_self(x, cache["self_k"], cache["self_v"], index)
+        h1, new_k, new_v, new_ks, new_vs = self.trg_trg_att.step_self(
+            x, cache["self_k"], cache["self_v"], index,
+            k_scale=cache.get("self_k_scale"),
+            v_scale=cache.get("self_v_scale"))
         cache = {**cache, "self_k": new_k, "self_v": new_v}
+        if new_ks is not None:
+            cache.update(self_k_scale=new_ks, self_v_scale=new_vs)
         h1 = h1 + self.alpha * residual
         if self.layer_norm_position == "post":
             h1 = self.x_layer_norm(h1).astype(self.dtype)
@@ -482,12 +567,11 @@ class TransformerDecoderLayer(nn.Module):
         h1_residual = h1
         if self.layer_norm_position == "pre":
             h1 = self.dec_layer_norm(h1).astype(self.dtype)
-        ck, cv = cache["cross_k"], cache["cross_v"]
-        if "cross_k_scale" in cache:  # int8 cache: dequantize in the fusion
-            ck = ck.astype(self.dtype) * cache["cross_k_scale"].astype(self.dtype)
-            cv = cv.astype(self.dtype) * cache["cross_v_scale"].astype(self.dtype)
-        h2, att = self.src_trg_att.step_cross(h1, ck, cv,
-                                              src_mask, return_weights=return_attention)
+        h2, att = self.src_trg_att.step_cross(
+            h1, cache["cross_k"], cache["cross_v"], src_mask,
+            k_scale=cache.get("cross_k_scale"),
+            v_scale=cache.get("cross_v_scale"),
+            return_weights=return_attention)
         h2 = h2 + self.alpha * h1_residual
         if self.layer_norm_position == "post":
             h2 = self.dec_layer_norm(h2).astype(self.dtype)

@@ -57,53 +57,39 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
     round-trip)."""
     s = k_ref.shape[2]
     d = k_ref.shape[3]
-    n_rows = bb * num_heads
 
     q = q_ref[...].astype(jnp.float32) * sm_scale  # (bb, H, D)
     if scale_layout == "channel":
         q = q * ks_ref[...].astype(jnp.float32)  # fold K scales into q
-    q_mat = q.reshape(n_rows, d).astype(jnp.bfloat16)  # (R, D)
+    q = q.astype(jnp.bfloat16)
 
-    k_flat = k_ref[...].astype(jnp.bfloat16).reshape(n_rows * s, d)
-    # G[r*S+s', r'] = k[r, s'] . q[r']; we need the r'==r diagonal blocks
-    g = jax.lax.dot_general(
-        k_flat, q_mat,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (R*S, R)
-    row_block = jax.lax.broadcasted_iota(jnp.int32, (n_rows * s, 1), 0) // s
-    scores = jnp.take_along_axis(g, row_block, axis=1).reshape(n_rows, s)
+    for h in range(num_heads):  # H is small (4-16); static unroll
+        k = k_ref[:, h].astype(jnp.float32)  # (bb, S, D)
+        # scores[b, s'] = k[b, s'] . q[b] — a matvec is 1 flop/byte, so the
+        # VPU multiply+lane-reduce is as fast as an MXU dot here and avoids
+        # Mosaic's unsupported thin-matmul shapes
+        scores = jnp.sum(k * q[:, h][:, None, :].astype(jnp.float32),
+                         axis=-1)  # (bb, S)
 
-    if scale_layout == "position":
-        scores = scores * ks_ref[...].astype(jnp.float32).reshape(n_rows, s)
+        if scale_layout == "position":
+            scores = scores * ks_ref[:, h].astype(jnp.float32)
 
-    bias = bias_ref[...].astype(jnp.float32)  # (bb, 1, S)
-    scores = scores + jnp.broadcast_to(
-        bias, (bb, num_heads, s)).reshape(n_rows, s)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (R, S) f32
+        scores = scores + bias_ref[:, 0].astype(jnp.float32)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (bb, S) f32
 
-    if scale_layout == "position":
-        p = p * vs_ref[...].astype(jnp.float32).reshape(n_rows, s)
+        if scale_layout == "position":
+            p = p * vs_ref[:, h].astype(jnp.float32)
 
-    # block-diagonal P: row r keeps its own S-slice, zero elsewhere
-    col_block = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows * s), 1) // s
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows * s), 0)
-    p_bd = jnp.where(col_block == row_id,
-                     jnp.broadcast_to(p.reshape(1, n_rows * s),
-                                      (n_rows, n_rows * s)),
-                     0.0).astype(jnp.bfloat16)
-    v_flat = v_ref[...].astype(jnp.bfloat16).reshape(n_rows * s, d)
-    ctx = jax.lax.dot_general(
-        p_bd, v_flat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (R, D)
-    ctx = ctx.reshape(bb, num_heads, d)
+        # ctx[b, d'] = sum_s p[b, s] * v[b, s, d'] — sublane reduce
+        ctx = jnp.sum(v_ref[:, h].astype(jnp.float32) * p[:, :, None],
+                      axis=1)  # (bb, D)
 
-    if scale_layout == "channel":
-        ctx = ctx * vs_ref[...].astype(jnp.float32)
+        if scale_layout == "channel":
+            ctx = ctx * vs_ref[:, h].astype(jnp.float32)
 
-    o_ref[...] = ctx.astype(o_ref.dtype)
+        o_ref[:, h] = ctx.astype(o_ref.dtype)
 
 
 def _kernel_loop(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
@@ -148,7 +134,7 @@ def _kernel_loop(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret",
-                                             "batch_block"))
+                                             "batch_block", "scale_layout"))
 def decode_attention(
     q: jnp.ndarray,  # (B, H, D)
     k: jnp.ndarray,  # (B, H, S, D) bf16/f32 or int8
@@ -160,6 +146,9 @@ def decode_attention(
     sm_scale: float = 1.0,
     interpret: bool = False,
     batch_block: int = 8,
+    scale_layout: Optional[str] = None,  # "channel" | "position"; inferred
+                                         # from shapes if omitted (ambiguous
+                                         # when S == D — pass it then)
 ) -> jnp.ndarray:
     """Single-step attention context (B, H, D) with fused int8 dequant."""
     b, h, s, d = k.shape
@@ -171,11 +160,13 @@ def decode_attention(
         # dummy refs so the kernel signature is uniform
         k_scale = jnp.ones((b, h, d), q.dtype)
         v_scale = jnp.ones((b, h, d), q.dtype)
-    elif k_scale.shape == (b, h, d):
-        scale_layout = "channel"
-    else:
+    elif scale_layout is None:
+        assert s != d, "S == D: pass scale_layout explicitly"
+        scale_layout = "channel" if k_scale.shape == (b, h, d) else "position"
+    if scale_layout == "channel":
+        assert k_scale.shape == (b, h, d), k_scale.shape
+    elif scale_layout == "position":
         assert k_scale.shape == (b, h, s), k_scale.shape
-        scale_layout = "position"
     assert v_scale is not None and v_scale.shape == k_scale.shape
 
     last = d if scale_layout in ("channel", "none") else s

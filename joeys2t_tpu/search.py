@@ -515,7 +515,7 @@ def _beam_search_jit(
         # only within beam groups — skip gathering them
         cache = {
             layer: {
-                key: (value[select] if key in ("self_k", "self_v") else value)
+                key: (value[select] if key.startswith("self_") else value)
                 for key, value in entries.items()
             }
             for layer, entries in new_cache.items()

