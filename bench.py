@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: decode-loop compiles through the remote
+# relay take minutes; cached executables cut warm runs to seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _bench_beam_p50(model, spec, params, batch_size=32, n_frames=1000,
                     beam_size=5, max_output_length=96, iters=3):

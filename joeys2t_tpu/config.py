@@ -86,6 +86,8 @@ class TrainConfig:
 class TestConfig:
     """`testing` section (joeynmt/config.py:67-86, defaults :356-446)."""
 
+    __test__ = False  # the Test* name is domain jargon, not a pytest class
+
     load_model: Optional[Path] = None
     batch_size: int = 64
     batch_type: str = "sentence"
