@@ -118,7 +118,8 @@ def main():
 
     model, spec = _build()  # 16L enc / 8L dec / h512 / ff2048, bf16 compute
 
-    batch_size = 256  # throughput climbs with batch (see docs/benchmarks_s2t.md)
+    batch_size = 512  # throughput climbs with batch (see docs/benchmarks_s2t.md);
+    # compile time is amortized by the persistent cache above
     audio_seconds = 10.0
     n_frames = 1000  # 10s at 10ms shift
     max_output_length = 96

@@ -199,12 +199,16 @@ class MultiHeadedAttention(nn.Module):
 
     # ------------------------------------------------------------- decode ops
     def _use_decode_kernel(self) -> bool:
-        """Pallas decode-attention kernel eligibility: streams the KV cache
-        at HBM bandwidth with in-VMEM int8 dequant (ops/decode_attention.py).
-        The einsum path remains for 'xla', off-TPU backends, sharded decode
-        (the kernel has no SPMD partitioning rule), and attention-weight
-        returns."""
-        if self.attn_impl == "xla":
+        """Pallas decode-attention kernel gate (ops/decode_attention.py).
+
+        Opt-in via attn_impl='decode_kernel': in isolated marginal-loop
+        benchmarks the kernel streams the caches faster than XLA's einsums
+        (0.25ms vs 0.41ms per cross layer at B=256), but inside the decode
+        while_loop it measured ~40% slower end-to-end (RTFx 3720 vs 6527)
+        — the custom-call boundary forces copies of the loop-carried cache
+        buffers and breaks XLA's fusion with the surrounding projections.
+        The default einsum path on the (B, H, S, D) layout is the fast one."""
+        if self.attn_impl != "decode_kernel":
             return False
         import jax
 
