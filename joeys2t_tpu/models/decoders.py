@@ -194,8 +194,11 @@ class TransformerDecoder(nn.Module):
         src_mask: Optional[jnp.ndarray],
         trg_prompt_embed_t: Optional[jnp.ndarray] = None,
         return_attention: bool = False,
+        beam_k: int = 1,
     ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
-        """One decode step. Returns (logits (B, 1, V), new_cache, cross_att)."""
+        """One decode step. Returns (logits (B, 1, V), new_cache, cross_att).
+
+        ``beam_k``: see Seq2SeqModel.decode_step (beam-shared cross caches)."""
         size = trg_embed_t.shape[2]
         max_len = cache["layer_0"]["self_k"].shape[2]  # (B, H, S_max, Dh)
         pe = sinusoidal_pe(max_len, size).astype(trg_embed_t.dtype)
@@ -211,7 +214,8 @@ class TransformerDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             x, layer_cache, layer_att = layer.decode_step(
                 x, cache[f"layer_{i}"], index, src_mask,
-                return_attention=(return_attention and i == last))
+                return_attention=(return_attention and i == last),
+                beam_k=beam_k)
             new_cache[f"layer_{i}"] = layer_cache
             if layer_att is not None:
                 att = layer_att

@@ -164,15 +164,22 @@ class Seq2SeqModel(nn.Module):
         src_mask: Optional[jnp.ndarray],
         trg_prompt_mask_t: Optional[jnp.ndarray] = None,  # (B, 1) int32 0/1
         return_attention: bool = False,
+        beam_k: int = 1,
     ):
-        """One KV-cached decode step -> (logits (B, 1, V), new_cache, att)."""
+        """One KV-cached decode step -> (logits (B, 1, V), new_cache, att).
+
+        ``beam_k > 1``: prev_tokens/self-caches carry B*K rows while the
+        cross caches and src_mask stay untiled at B — cross-attention K/V
+        are shared across a batch element's beams (k-fold less HBM
+        traffic than tiling them)."""
         trg_embed_t = self.trg_embed(prev_tokens)
         trg_prompt_embed_t = None
         if trg_prompt_mask_t is not None:
             trg_prompt_embed_t = self.trg_embed(trg_prompt_mask_t)
         logits, cache, att = self.decoder.decode_step(
             trg_embed_t, index, cache, src_mask,
-            trg_prompt_embed_t=trg_prompt_embed_t, return_attention=return_attention)
+            trg_prompt_embed_t=trg_prompt_embed_t,
+            return_attention=return_attention, beam_k=beam_k)
         return self._output_logits(logits), cache, att
 
 

@@ -292,23 +292,47 @@ class MultiHeadedAttention(nn.Module):
 
     def step_cross(
         self,
-        q: jnp.ndarray,  # (B, 1, size)
+        q: jnp.ndarray,  # (B*K, 1, size)
         k_h: jnp.ndarray,  # precomputed (B, H, S, Dh), bf16/f32 or int8
         v_h: jnp.ndarray,
         mask: Optional[jnp.ndarray],  # (B, 1, S) bool
         k_scale: Optional[jnp.ndarray] = None,  # (B, H, Dh) when int8
         v_scale: Optional[jnp.ndarray] = None,
         return_weights: bool = False,
+        beam_k: int = 1,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        """One cross-attention decode step against precomputed K/V."""
+        """One cross-attention decode step against precomputed K/V.
+
+        With ``beam_k > 1`` the queries carry B*K rows but K/V stay at B:
+        each batch element's beams share its (never-rewritten) cross cache,
+        reading it from HBM once instead of K times per step."""
         from joeys2t_tpu.ops.decode_attention import decode_attention
 
-        q_h = self._split_heads(self.q_layer(q))  # (B, 1, H, Dh)
-        b, s = q_h.shape[0], k_h.shape[2]
+        q_h = self._split_heads(self.q_layer(q))  # (B*K, 1, H, Dh)
+        b, s = k_h.shape[0], k_h.shape[2]
         if mask is None:
             bias = jnp.zeros((b, s), jnp.float32)
         else:
             bias = jnp.where(mask[:, 0, :], 0.0, NEG_INF).astype(jnp.float32)
+
+        if beam_k > 1:
+            assert q_h.shape[0] == b * beam_k, (q_h.shape, b, beam_k)
+            assert not return_weights  # beam search never returns attention
+            if k_h.dtype == jnp.int8:  # dequantize per-channel in the fusion
+                k_h = k_h.astype(self.dtype) * k_scale[:, :, None, :].astype(self.dtype)
+                v_h = v_h.astype(self.dtype) * v_scale[:, :, None, :].astype(self.dtype)
+            qk = (q_h[:, 0].reshape(b, beam_k, self.num_heads, self.head_size)
+                  / math.sqrt(self.head_size))
+            scores = jnp.einsum("bkhd,bhsd->bkhs", qk, k_h.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores + bias[:, None, None, :]
+            weights = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bkhs,bhsd->bkhd", weights.astype(self.dtype),
+                             v_h.astype(self.dtype))
+            out = self.output_layer(
+                ctx.reshape(b * beam_k, 1, self.size).astype(self.dtype))
+            return out, None
+
         if self._use_decode_kernel() and not return_weights:
             ctx = decode_attention(
                 q_h[:, 0].astype(self.dtype), k_h, v_h, bias,
@@ -552,8 +576,12 @@ class TransformerDecoderLayer(nn.Module):
         index: jnp.ndarray,
         src_mask: Optional[jnp.ndarray],
         return_attention: bool = False,
+        beam_k: int = 1,
     ) -> Tuple[jnp.ndarray, dict, Optional[jnp.ndarray]]:
-        """Single decode step with cached self/cross K/V."""
+        """Single decode step with cached self/cross K/V.
+
+        ``beam_k > 1``: x and the self caches carry B*K rows while the
+        cross caches/src_mask stay at B (beam-shared cross attention)."""
         residual = x
         if self.layer_norm_position == "pre":
             x = self.x_layer_norm(x).astype(self.dtype)
@@ -575,7 +603,7 @@ class TransformerDecoderLayer(nn.Module):
             h1, cache["cross_k"], cache["cross_v"], src_mask,
             k_scale=cache.get("cross_k_scale"),
             v_scale=cache.get("cross_v_scale"),
-            return_weights=return_attention)
+            return_weights=return_attention, beam_k=beam_k)
         h2 = h2 + self.alpha * h1_residual
         if self.layer_norm_position == "post":
             h2 = self.dec_layer_norm(h2).astype(self.dtype)

@@ -409,9 +409,18 @@ def _beam_search_jit(
         return jnp.repeat(x, k, axis=0)
 
     params = _cast_params_to_compute_dtype(params, model)
-    enc = tile(encoder_output)  # (B*K, S, H)
-    msk = tile(src_mask)
-    cache = model.apply({"params": params}, enc, l1, method="init_cache")
+    # cross K/V caches and src_mask stay UNTILED at batch B: every beam of a
+    # batch element shares its cross cache (they are never written), so the
+    # decode loop reads them from HBM once per step instead of K times —
+    # the dominant decode traffic. Only the self ring buffers carry B*K rows.
+    msk = src_mask
+    cache = model.apply({"params": params}, encoder_output, l1,
+                        method="init_cache")
+    cache = {
+        layer: {key: (tile(val) if key.startswith("self_") else val)
+                for key, val in entries.items()}
+        for layer, entries in cache.items()
+    }
 
     if has_encoder_input:
         enc_in = tile(encoder_input)
@@ -447,7 +456,7 @@ def _beam_search_jit(
             prompt_t = jax.lax.dynamic_slice(pm, (0, step), (bk, 1))
         logits, new_cache, _ = model.apply(
             {"params": params}, prev, step, cache, msk,
-            trg_prompt_mask_t=prompt_t, method="decode_step")
+            trg_prompt_mask_t=prompt_t, beam_k=k, method="decode_step")
         log_probs = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
 
         if no_repeat_ngram_size > 0:
