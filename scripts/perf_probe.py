@@ -44,16 +44,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--frames", type=int, default=1000)
-    ap.add_argument("--cross-int8", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _build
     from joeys2t_tpu.search import transformer_greedy, _cast_params_to_compute_dtype
 
     model, spec = _build()
-    if args.cross_int8:
-        model = model.replace_module_attr("cache_cross_int8", True) \
-            if hasattr(model, "replace_module_attr") else model
 
     b, t = args.batch, args.frames
     rng = np.random.RandomState(0)
