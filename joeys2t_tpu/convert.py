@@ -178,8 +178,17 @@ def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     walk(params, [])
 
     converted = {}
+    rnn_cells: Dict = {}
     for flat_name, value in out.items():
         parts = flat_name.split("|")
+
+        # RNN cells: collect per-gate Dense params, reassemble below
+        cell_key = _rnn_cell_key(parts)
+        if cell_key is not None:
+            side, layer, reverse, gate, leaf = cell_key
+            rnn_cells.setdefault((side, layer, reverse), {})[(gate, leaf)] = value
+            continue
+
         name_parts = []
         for p in parts[:-1]:
             if p.startswith("layer_") and p[6:].isdigit():
@@ -193,12 +202,22 @@ def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
             else:
                 name_parts.append(p)
         leaf = parts[-1]
-        if leaf == "embedding":
+        is_pointwise = name_parts and name_parts[-1].startswith("pointwise_conv")
+        if leaf.startswith("batch_norm_"):
+            # inference-form conformer BN -> torch nn.BatchNorm1d tensors
+            name_parts.append("batch_norm")
+            name_parts.append({"batch_norm_scale": "weight",
+                               "batch_norm_bias": "bias",
+                               "batch_norm_mean": "running_mean",
+                               "batch_norm_var": "running_var"}[leaf])
+        elif leaf == "embedding":
             name_parts.append("weight")
         elif leaf == "scale":
             name_parts.append("weight")
         elif leaf == "kernel":
-            if value.ndim == 2:
+            if is_pointwise:  # flax Dense (in, out) -> torch Conv1d (out, in, 1)
+                value = value.T[:, :, None]
+            elif value.ndim == 2:
                 value = value.T
             elif value.ndim == 3:
                 value = np.transpose(value, (2, 1, 0))
@@ -206,7 +225,58 @@ def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
         else:
             name_parts.append(leaf)
         converted[".".join(name_parts)] = value
+
+    for (side, layer, reverse), gates in rnn_cells.items():
+        _export_rnn_cell(converted, side, layer, reverse, gates)
     return converted
+
+
+def _rnn_cell_key(parts):
+    """Match flax RNN cell paths: encoder|fwd_lK|cell_0|ir|kernel,
+    encoder|bwd_lK|cell_0|..., decoder|rnn|cell_K|... Returns
+    (side, layer, reverse, gate, leaf) or None."""
+    if len(parts) != 5:
+        return None
+    side, mid, cell, gate, leaf = parts
+    if not cell.startswith("cell_") or len(gate) != 2 or gate[0] not in "ih":
+        return None
+    if mid == "rnn":
+        return side, int(cell[5:]), False, gate, leaf
+    if mid.startswith(("fwd_l", "bwd_l")) and mid[5:].isdigit():
+        return side, int(mid[5:]), mid.startswith("bwd"), gate, leaf
+    return None
+
+
+def _export_rnn_cell(converted: Dict, side: str, layer: int, reverse: bool,
+                     gates: Dict) -> None:
+    """Reassemble flax GRU/LSTM cell params into torch nn.GRU/nn.LSTM flat
+    tensors. Inverse of _convert_rnn_cell up to the bias split: the summed
+    sigmoid-gate bias pairs are exported as bias_ih with bias_hh zeroed
+    (except the GRU candidate's b_hn, which is uniquely recoverable), which
+    is behavior-identical in torch (round-trip-exact forward)."""
+    gru = ("ir", "kernel") in gates
+    order = "rzn" if gru else "ifgo"
+    w_ih = np.concatenate([gates[(f"i{g}", "kernel")].T for g in order], axis=0)
+    w_hh = np.concatenate([gates[(f"h{g}", "kernel")].T for g in order], axis=0)
+    h = w_hh.shape[1]
+    suffix = f"l{layer}" + ("_reverse" if reverse else "")
+    prefix = f"{side}.rnn."
+    converted[prefix + f"weight_ih_{suffix}"] = w_ih
+    converted[prefix + f"weight_hh_{suffix}"] = w_hh
+    zeros = np.zeros(h, w_ih.dtype)
+    if gru:
+        if ("ir", "bias") in gates:
+            b_ih = np.concatenate([gates[("ir", "bias")], gates[("iz", "bias")],
+                                   gates[("in", "bias")]])
+            b_hh = np.concatenate([zeros, zeros, gates[("hn", "bias")]])
+            converted[prefix + f"bias_ih_{suffix}"] = b_ih
+            converted[prefix + f"bias_hh_{suffix}"] = b_hh
+    else:
+        if ("hi", "bias") in gates:
+            b_ih = np.concatenate([gates[(f"h{g}", "bias")] for g in order])
+            converted[prefix + f"bias_ih_{suffix}"] = b_ih
+            converted[prefix + f"bias_hh_{suffix}"] = np.concatenate(
+                [zeros] * 4)
 
 
 def load_torch_checkpoint(path, allow_pickle: bool = False) -> Dict:
@@ -217,11 +287,20 @@ def load_torch_checkpoint(path, allow_pickle: bool = False) -> Dict:
     scheduler/iterator state that needs full unpickling; that path runs only
     with explicit ``allow_pickle=True`` opt-in.
     """
+    import pickle
+
     import torch
 
+    from pathlib import Path as _Path
+
+    if not _Path(path).is_file():
+        raise FileNotFoundError(path)
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception as e:  # pickle.UnpicklingError subclasses vary by version
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        # torch raises UnpicklingError/RuntimeError when the safe loader
+        # hits non-tensor pickled state; anything else (corrupt file, IO)
+        # propagates rather than steering users toward the unsafe flag
         if not allow_pickle:
             raise RuntimeError(
                 f"{path} needs full (unsafe) unpickling to load; pass "

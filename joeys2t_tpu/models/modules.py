@@ -152,8 +152,12 @@ class MultiHeadedAttention(nn.Module):
                 seed = jax.random.key_data(key).ravel()[0].astype(jnp.int32)
             sm = 1.0 / math.sqrt(self.head_size)
             context = None
-            if jax.device_count() > 1:
-                # GSPMD: shard_map the kernel over the installed mesh
+            if jax.device_count() > 1 and self.attn_impl != "flash":
+                # GSPMD: shard_map the kernel over the installed mesh.
+                # Explicit attn_impl='flash' bypasses this — it is the
+                # documented override for calling attention inside a
+                # user-managed shard_map, where nesting another shard_map
+                # over the same mesh axes would fail at trace time.
                 context = mha_flash_sharded(q_h, k_h, v_h, key_valid, sm,
                                             dropout_rate=dropout_rate,
                                             seed=seed)
@@ -418,7 +422,8 @@ class MoEFeedForward(nn.Module):
         self.dropout2 = nn.Dropout(rate=self.dropout)
         self.act = build_activation(self.activation)
 
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 token_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
         if self.layer_norm_position == "pre":
             x = self.layer_norm(x).astype(self.dtype)
@@ -426,12 +431,20 @@ class MoEFeedForward(nn.Module):
         top1 = jnp.argmax(gates, axis=-1)  # (B, T)
         one_hot = jax.nn.one_hot(top1, self.num_experts, dtype=jnp.float32)
         # Switch Transformer load-balance auxiliary loss (arXiv:2101.03961
-        # eq. 4): E * sum_e(dispatch-fraction_e * mean-router-prob_e).
-        # Minimised at uniform routing (value 1.0); collected via sow so
-        # it is a no-op unless the caller applies with
-        # mutable=["aux_loss"] (the train step folds it into the objective).
-        f = jnp.mean(one_hot, axis=(0, 1))       # fraction routed per expert
-        p = jnp.mean(gates, axis=(0, 1))         # mean router prob per expert
+        # eq. 4): E * sum_e(dispatch-fraction_e * mean-router-prob_e) over
+        # REAL tokens only (``token_valid`` (B, T) masks padding — pad
+        # routing must not skew the dispatch statistics). Minimised at
+        # uniform routing (value 1.0); collected via sow so it is a no-op
+        # unless the caller applies with mutable=["aux_loss"] (the train
+        # step folds it into the objective).
+        if token_valid is not None:
+            w = token_valid.astype(jnp.float32)[..., None]  # (B, T, 1)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            f = jnp.sum(one_hot * w, axis=(0, 1)) / denom
+            p = jnp.sum(gates * w, axis=(0, 1)) / denom
+        else:
+            f = jnp.mean(one_hot, axis=(0, 1))   # fraction routed per expert
+            p = jnp.mean(gates, axis=(0, 1))     # mean router prob per expert
         self.sow("aux_loss", "moe_load_balance",
                  self.num_experts * jnp.sum(f * p))
         # (B, T, E): router prob of the selected expert, zero elsewhere
@@ -499,6 +512,11 @@ class TransformerEncoderLayer(nn.Module):
         x = self.dropout_layer(x, deterministic=deterministic) + self.alpha * residual
         if self.layer_norm_position == "post":
             x = self.layer_norm(x).astype(self.dtype)
+        if self.num_experts > 0:
+            # MoE routing statistics must not count padding tokens
+            token_valid = None if mask is None else mask[:, 0, :]
+            return self.feed_forward(x, deterministic=deterministic,
+                                     token_valid=token_valid)
         return self.feed_forward(x, deterministic=deterministic)
 
 
@@ -675,8 +693,12 @@ class ConvolutionModule(nn.Module):
         x = a * jax.nn.sigmoid(b)  # GLU over channel dim
         x = self.depthwise_conv(x)
         if self.norm_type == "batchnorm":
-            inv = jax.lax.rsqrt(self.bn_var.astype(jnp.float32) + 1e-5)
-            x = ((x.astype(jnp.float32) - self.bn_mean) * inv
+            # running stats are frozen (torch BN.eval()): no gradient flows
+            # into them, and optim._decay_mask excludes them from weight decay
+            mean = jax.lax.stop_gradient(self.bn_mean.astype(jnp.float32))
+            var = jax.lax.stop_gradient(self.bn_var.astype(jnp.float32))
+            inv = jax.lax.rsqrt(var + 1e-5)
+            x = ((x.astype(jnp.float32) - mean) * inv
                  * self.bn_scale + self.bn_bias).astype(self.dtype)
         else:
             x = self.norm(x).astype(self.dtype)

@@ -30,6 +30,24 @@ def build_gradient_clipper(cfg: Dict) -> Optional[optax.GradientTransformation]:
     return None
 
 
+def _decay_mask(params):
+    """Weight-decay mask: True = decay. Excludes the frozen inference-form
+    BatchNorm statistics of converted conformer checkpoints
+    (models/modules.py ConvolutionModule norm_type="batchnorm") — decaying a
+    running variance toward zero would silently corrupt the model."""
+    import jax
+
+    def keep(path, _):
+        last = getattr(path[-1], "key", None) if path else None
+        return last not in ("batch_norm_mean", "batch_norm_var")
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def _decayed(weight_decay: float):
+    return optax.add_decayed_weights(weight_decay, mask=_decay_mask)
+
+
 def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     """Build an optax optimizer chain from the training config
     (joeynmt/builders.py:75-136). The learning rate is injected as a state
@@ -45,7 +63,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             chain = [optax.scale_by_adam(b1=betas[0], b2=betas[1])]
             if weight_decay > 0:  # torch Adam applies L2 to the raw grads
-                chain.insert(0, optax.add_decayed_weights(weight_decay))
+                chain.insert(0, _decayed(weight_decay))
             chain.append(optax.scale(-1.0 * learning_rate))
             return optax.chain(*chain)
 
@@ -57,7 +75,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             return optax.chain(
                 optax.scale_by_adam(b1=betas[0], b2=betas[1]),
-                optax.add_decayed_weights(weight_decay),
+                _decayed(weight_decay),
                 optax.scale(-1.0 * learning_rate),
             )
 
@@ -67,7 +85,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             chain = [optax.scale_by_rss(initial_accumulator_value=0.0)]
             if weight_decay > 0:
-                chain.insert(0, optax.add_decayed_weights(weight_decay))
+                chain.insert(0, _decayed(weight_decay))
             chain.append(optax.scale(-1.0 * learning_rate))
             return optax.chain(*chain)
 
@@ -77,7 +95,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             chain = [optax.scale_by_adadelta()]
             if weight_decay > 0:
-                chain.insert(0, optax.add_decayed_weights(weight_decay))
+                chain.insert(0, _decayed(weight_decay))
             chain.append(optax.scale(-1.0 * learning_rate))
             return optax.chain(*chain)
 
@@ -87,7 +105,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             chain = [optax.scale_by_rms()]
             if weight_decay > 0:
-                chain.insert(0, optax.add_decayed_weights(weight_decay))
+                chain.insert(0, _decayed(weight_decay))
             chain.append(optax.scale(-1.0 * learning_rate))
             return optax.chain(*chain)
 
@@ -99,7 +117,7 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         def make(learning_rate):
             chain = []
             if weight_decay > 0:
-                chain.append(optax.add_decayed_weights(weight_decay))
+                chain.append(_decayed(weight_decay))
             if momentum > 0:
                 chain.append(optax.trace(decay=momentum))
             chain.append(optax.scale(-1.0 * learning_rate))

@@ -205,7 +205,9 @@ class TrainManager:
             jnp.where(trg_mask_2d, jnp.argmax(log_probs, -1) == batch["trg"], False))
         # normalize (joeynmt/batch.py:135-175); accumulation divide folded in
         norm = total / normalizer / self.args.batch_multiplier
-        norm = norm + 0.01 * aux  # no-op (aux==0) unless MoE layers present
+        # no-op (aux==0) unless MoE layers are present; divided like the CE
+        # term so gradient accumulation keeps the effective coefficient 0.01
+        norm = norm + 0.01 * aux / self.args.batch_multiplier
         metrics = (norm, nll / normalizer / self.args.batch_multiplier,
                    ctc / normalizer / self.args.batch_multiplier, n_correct)
         return norm, metrics

@@ -73,9 +73,15 @@ def _download_and_extract(name: str) -> Path:
         try:
             tar.extractall(tmp, filter="data")
         except TypeError:
+            import os
+
+            root = str(tmp.resolve()) + os.sep
             for member in tar.getmembers():
+                if member.issym() or member.islnk():
+                    raise RuntimeError(
+                        f"archive contains a link member: {member.name}")
                 dest = (tmp / member.name).resolve()
-                if not str(dest).startswith(str(tmp.resolve())):
+                if not str(dest).startswith(root):
                     raise RuntimeError(
                         f"archive member escapes extraction dir: {member.name}")
             tar.extractall(tmp)

@@ -116,33 +116,38 @@ def main():
     # reuse decode_step but stub parts? Instead: time sub-batches of the
     # cache reads with raw einsums matching step shapes.
     h, nh, dh, s_sub = 512, 4, 128, enc_out.shape[1]
+    # (B, H, S, D) cache layout (decoders.init_cache)
     q1 = jnp.ones((b, nh, 1, dh), jnp.bfloat16)
-    ck = jnp.ones((b, s_sub, nh, dh), jnp.bfloat16)
-    cv = jnp.ones((b, s_sub, nh, dh), jnp.bfloat16)
-    sk = jnp.ones((b, l1, nh, dh), jnp.bfloat16)
-    sv = jnp.ones((b, l1, nh, dh), jnp.bfloat16)
+    ck = jnp.ones((b, nh, s_sub, dh), jnp.bfloat16)
+    cv = jnp.ones((b, nh, s_sub, dh), jnp.bfloat16)
+    sk = jnp.ones((b, nh, l1, dh), jnp.bfloat16)
+    sv = jnp.ones((b, nh, l1, dh), jnp.bfloat16)
 
     @jax.jit
     def cross_reads(q1, ck, cv):
-        # 8 layers of cross attention reads
+        # 8 layers of cross attention reads; q varied per "layer" to block CSE
         out = jnp.zeros((), jnp.float32)
+        q = q1
         for _ in range(8):
-            sc = jnp.einsum("bhqd,bkhd->bhqk", q1, ck,
+            sc = jnp.einsum("bhqd,bhkd->bhqk", q, ck,
                             preferred_element_type=jnp.float32)
             w = jax.nn.softmax(sc, -1).astype(jnp.bfloat16)
-            ctx = jnp.einsum("bhqk,bkhd->bhqd", w, cv)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
             out = out + ctx.astype(jnp.float32).sum()
+            q = q + 0.001 * ctx
         return out
 
     @jax.jit
     def self_reads(q1, sk, sv):
         out = jnp.zeros((), jnp.float32)
+        q = q1
         for _ in range(8):
-            sc = jnp.einsum("bhqd,bkhd->bhqk", q1, sk,
+            sc = jnp.einsum("bhqd,bhkd->bhqk", q, sk,
                             preferred_element_type=jnp.float32)
             w = jax.nn.softmax(sc, -1).astype(jnp.bfloat16)
-            ctx = jnp.einsum("bhqk,bkhd->bhqd", w, sv)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, sv)
             out = out + ctx.astype(jnp.float32).sum()
+            q = q + 0.001 * ctx
         return out
 
     x1 = jnp.ones((b, 1, h), jnp.bfloat16)

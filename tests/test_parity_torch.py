@@ -539,3 +539,81 @@ def test_recurrent_model_forward_parity(ref_modules):
         jnp.ones((b, 1, t), bool), deterministic=True)
     np.testing.assert_allclose(logits_t.numpy(), np.asarray(logits_j),
                                atol=1e-5)
+
+
+@needs_ref
+def test_convert_roundtrip_rnn_and_conformer(ref_modules):
+    """flax -> torch-naming -> flax round-trips for the newly convertible
+    families too: recurrent GRU seq2seq (gate reassembly; the summed
+    sigmoid-gate biases export behavior-identically with bias_hh zeroed)
+    and conformer BatchNorm tensors — and the exported dict loads into the
+    actual reference torch modules."""
+    import jax
+    import jax.numpy as jnp
+
+    from joeynmt.encoders import ConformerEncoder as TorchConformer
+    from joeynmt.encoders import RecurrentEncoder as TorchRecEncoder
+
+    from joeys2t_tpu.convert import (flax_to_torch_state_dict,
+                                     torch_state_dict_to_flax)
+    from joeys2t_tpu.models.encoders import ConformerEncoder as JaxConformer
+    from joeys2t_tpu.models.rnn import RecurrentEncoder as JaxRecEncoder
+
+    # --- recurrent: behavior-identical round trip ---
+    h, e, nl = 6, 5, 2
+    jenc = JaxRecEncoder(rnn_type="gru", hidden_size=h, emb_size=e,
+                         num_layers=nl, dropout=0.0, emb_dropout=0.0,
+                         bidirectional=True)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 9, e), jnp.float32)
+    lengths = jnp.asarray(np.array([9, 5]))
+    params = jenc.init(jax.random.PRNGKey(0), x, lengths)["params"]
+    sd = flax_to_torch_state_dict({"encoder": params})
+    # strip the side prefix for load_state_dict on the bare module
+    tenc = TorchRecEncoder(rnn_type="gru", hidden_size=h, emb_size=e,
+                           num_layers=nl, bidirectional=True)
+    tenc.load_state_dict({k[len("encoder."):]: torch.tensor(v)
+                          for k, v in sd.items()})
+    tenc.eval()
+    with torch.no_grad():
+        t_out, t_hid, _ = tenc(torch.tensor(np.asarray(x)),
+                               torch.tensor(np.asarray(lengths)), None)
+    j_out, j_hid, _ = jenc.apply({"params": params}, x, lengths)
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(j_out), atol=1e-6)
+    np.testing.assert_allclose(t_hid.numpy(), np.asarray(j_hid), atol=1e-6)
+    # and converting back reproduces the behavior (not necessarily the
+    # original bias split, which is non-unique)
+    back = torch_state_dict_to_flax(sd)["encoder"]
+    j_out2, _, _ = jenc.apply({"params": back}, x, lengths)
+    np.testing.assert_allclose(np.asarray(j_out), np.asarray(j_out2),
+                               atol=1e-6)
+
+    # --- conformer: exact round trip incl. batch_norm_* tensors ---
+    jconf = JaxConformer(hidden_size=16, ff_size=32, num_layers=1,
+                         num_heads=2, dropout=0.0, emb_dropout=0.0,
+                         depthwise_conv_kernel_size=5, in_channels=8,
+                         conv_channels=16, conv_kernel_sizes=(3, 3),
+                         pad_index=1, conv_norm_type="batchnorm")
+    xs = jnp.asarray(rng.randn(2, 17, 8), jnp.float32)
+    ls = jnp.asarray(np.array([17, 11]))
+    cparams = jconf.init(jax.random.PRNGKey(1), xs, ls, None)["params"]
+    csd = flax_to_torch_state_dict({"encoder": cparams})
+    tconf = TorchConformer(hidden_size=16, ff_size=32, num_layers=1,
+                           num_heads=2, dropout=0.0, emb_dropout=0.0,
+                           depthwise_conv_kernel_size=5, in_channels=8,
+                           conv_channels=16, conv_kernel_sizes=[3, 3],
+                           pad_index=1)
+    missing, unexpected = tconf.load_state_dict(
+        {k[len("encoder."):]: torch.tensor(v) for k, v in csd.items()},
+        strict=False)
+    # only constant/bookkeeping buffers may be missing: BN step counters
+    # and the sinusoidal PE table (recomputed, not learned)
+    assert all("num_batches_tracked" in m or m == "pe.pe" for m in missing), \
+        missing
+    assert not unexpected, unexpected
+    cround = torch_state_dict_to_flax(csd)["encoder"]
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(cparams),
+            jax.tree_util.tree_leaves_with_path(cround)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
