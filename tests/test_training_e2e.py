@@ -140,3 +140,24 @@ def test_profiler_hook_writes_trace(reverse_env, monkeypatch, tmp_path):
     train(cfg, skip_test=True)
     files = list(trace_dir.rglob("*")) if trace_dir.exists() else []
     assert any(f.is_file() for f in files), files
+
+
+def test_rnn_reverse_config_trains(reverse_env):
+    """The shipped legacy-RNN config (configs/rnn_reverse.yaml, LSTM +
+    Luong attention + input feeding) trains end-to-end: one epoch,
+    validation, checkpoint."""
+    tmp, _ = reverse_env
+    cfg = yaml.safe_load(open(REPO / "configs/rnn_reverse.yaml"))
+    data_dir = tmp / "data"
+    cfg["model_dir"] = (tmp / "rnn_model").as_posix()
+    cfg["data"].update(
+        train=(data_dir / "train").as_posix(), dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "test").as_posix(), sample_train_subset=-1,
+        sample_dev_subset=-1)
+    cfg["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+                           batch_size=32)
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    model_dir = Path(cfg["model_dir"])
+    assert (model_dir / "latest.ckpt").is_symlink()
+    assert "bleu" in (model_dir / "validations.txt").read_text()
