@@ -117,3 +117,34 @@ def test_cli_translate_stdin(trained_model_dir):
     assert len(hyps) == 2
     # one epoch on the reverse task decodes digits, not garbage
     assert all(all(tok.isdigit() for tok in h.split()) for h in hyps if h)
+
+
+def test_hyp_scores_survive_batch_padding(trained_model_dir):
+    """Regression (ADVICE r1, prediction.py guard): with return_prob='hyp'
+    and a batch that pad_to_shape rounds up (nseqs not matching the padded
+    row count), the per-hypothesis scores must still come back aligned with
+    the hypotheses instead of being silently dropped."""
+    import numpy as np
+    import yaml as _yaml
+
+    from joeys2t_tpu.config import parse_global_args
+    from joeys2t_tpu.prediction import predict, prepare
+
+    cfg = _yaml.safe_load(open(trained_model_dir / "config.yaml"))
+    # 3 dev sentences per batch with sentence batching of 4 -> the final
+    # (and only) batch gets padded rows; beam n_best=2 multiplies rows
+    cfg["testing"].update(batch_size=5, batch_type="sentence", beam_size=3,
+                          n_best=2, return_prob="hyp",
+                          load_model=(trained_model_dir
+                                      / "latest.ckpt").as_posix())
+    args = parse_global_args(cfg, rank=0, mode="test")
+    model, spec, params, loss_fn, _, dev_data, _ = prepare(
+        args, rank=0, mode="test")
+    dev_data.reset_indices(random_subset=-1)
+    scores, _, hyp, _, seq_scores, _ = predict(
+        params=params, model=model, spec=spec, data=dev_data,
+        loss_fn=loss_fn, compute_loss=False, normalization="batch",
+        num_workers=0, args=args.test)
+    assert hyp is not None and len(hyp) == 16 * 2  # n_best per source
+    assert len(seq_scores) == len(hyp)  # was [] before the guard fix
+    assert all(np.isfinite(np.asarray(s).ravel()[0]) for s in seq_scores)
