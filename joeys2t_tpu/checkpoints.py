@@ -177,3 +177,34 @@ def load_sharded(directory: Path, template) -> Dict:
     directory = Path(directory).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(directory, template)
+
+
+def check_params_structure(expected, loaded, _path=""):
+    """Compare a loaded model_state tree against the built model's param
+    structure and raise a readable error on mismatch (flax's own failure
+    mode is a cryptic missing-param exception deep inside apply).
+
+    Special-cases the conformer-conversion foot-gun: converted reference
+    conformer checkpoints carry ``batch_norm_*`` tensors that only exist
+    when the model is built with ``conv_norm: batchnorm``."""
+    exp_keys = set(expected) if isinstance(expected, dict) else None
+    got_keys = set(loaded) if isinstance(loaded, dict) else None
+    if exp_keys == got_keys:
+        if exp_keys:
+            for k in exp_keys:
+                check_params_structure(expected[k], loaded[k], f"{_path}/{k}")
+        return
+    missing = sorted((exp_keys or set()) - (got_keys or set()))
+    extra = sorted((got_keys or set()) - (exp_keys or set()))
+    hint = ""
+    if any("batch_norm" in k for k in extra):
+        hint = (" Hint: the checkpoint carries conformer BatchNorm tensors "
+                "— set `conv_norm: batchnorm` in the encoder config to load "
+                "a converted reference conformer.")
+    elif any("batch_norm" in k for k in missing):
+        hint = (" Hint: the model was built with `conv_norm: batchnorm` but "
+                "the checkpoint has no BatchNorm tensors — drop the setting "
+                "or convert a conformer checkpoint.")
+    raise ValueError(
+        f"Checkpoint does not match the built model at '{_path or '/'}': "
+        f"missing {missing or '[]'}, unexpected {extra or '[]'}.{hint}")

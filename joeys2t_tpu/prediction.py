@@ -351,6 +351,9 @@ def prepare(args: BaseConfig, rank: int = 0, mode: str = "train"):
         ckpt = resolve_ckpt_path(args.test.load_model, args.model_dir)
         logger.info("Loading model from %s", ckpt)
         model_checkpoint = load_checkpoint(ckpt)
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        check_params_structure(params, model_checkpoint["model_state"])
         params = model_checkpoint["model_state"]
 
     set_seed(seed=args.seed)

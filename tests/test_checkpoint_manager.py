@@ -84,3 +84,32 @@ class TestBestK:
         cm.save(30, state(30), new_best=False, score=5.0)  # worst so far
         assert sorted(p.stem for _, p in cm.ckpt_queue) == ["10", "20"]
         assert (tmp_path / "10.ckpt").exists()
+
+
+class TestStructureCheck:
+    def test_matching_structure_passes(self):
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        tree = {"encoder": {"layer_0": {"kernel": 1}}, "decoder": {"w": 2}}
+        check_params_structure(tree, tree)  # no raise
+
+    def test_conformer_bn_hint(self):
+        """Loading a converted conformer checkpoint into a layernorm-built
+        model raises a readable error pointing at conv_norm: batchnorm."""
+        import pytest
+
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        expected = {"encoder": {"layer_0": {"conv_module": {"norm": {"scale": 1}}}}}
+        loaded = {"encoder": {"layer_0": {"conv_module": {
+            "batch_norm_scale": 1, "batch_norm_mean": 1}}}}
+        with pytest.raises(ValueError, match="conv_norm"):
+            check_params_structure(expected, loaded)
+
+    def test_generic_mismatch_lists_keys(self):
+        import pytest
+
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        with pytest.raises(ValueError, match="missing.*extra_key|unexpected"):
+            check_params_structure({"a": 1}, {"a": 1, "extra_key": 2})
