@@ -208,9 +208,10 @@ class MultiHeadedAttention(nn.Module):
         Opt-in via attn_impl='decode_kernel': in isolated marginal-loop
         benchmarks the kernel streams the caches faster than XLA's einsums
         (0.25ms vs 0.41ms per cross layer at B=256), but inside the decode
-        while_loop it measured ~40% slower end-to-end (RTFx 3720 vs 6527)
-        — the custom-call boundary forces copies of the loop-carried cache
-        buffers and breaks XLA's fusion with the surrounding projections.
+        while_loop it measured ~40% slower end-to-end (RTFx 3720 vs 6527;
+        even restricted to the loop-INVARIANT cross caches it reached only
+        4380) — the custom-call boundary itself breaks XLA's loop
+        scheduling/fusion, independent of carried-buffer copies.
         The default einsum path on the (B, H, S, D) layout is the fast one."""
         if self.attn_impl != "decode_kernel":
             return False
