@@ -191,7 +191,13 @@ def bench_train_step(batch=16, seq=1000, trg_len=48):
 
     t = timeit(lambda: step(params, opt_state), iters=5, warmup=2)
     audio_sec = batch * seq / 100.0
+    # MFU estimate: 6*N FLOPs per processed token fwd+bwd (matmul-dominated
+    # transformer rule of thumb; conv subsampler/CTC excluded -> lower bound)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    tokens = batch * (seq // 4 + trg_len)  # post-subsample enc + dec tokens
+    mfu = 6.0 * n_params * tokens / t / 197e12  # v5e bf16 peak 197 TFLOP/s
     print(json.dumps({"bench": "train_step", "batch": batch, "frames": seq,
+                      "est_mfu_pct": round(100 * mfu, 1),
                       "step_ms": round(t * 1e3, 1),
                       "audio_sec_per_sec": round(audio_sec / t, 1)}))
 
