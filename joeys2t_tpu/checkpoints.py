@@ -196,6 +196,15 @@ def check_params_structure(expected, loaded, _path=""):
         return
     missing = sorted((exp_keys or set()) - (got_keys or set()))
     extra = sorted((got_keys or set()) - (exp_keys or set()))
+    if not missing:
+        # extras alone are harmless (flax apply ignores them — e.g. constant
+        # buffers carried by old conversions); warn and continue
+        logger.warning("Checkpoint carries unused entries at '%s': %s",
+                       _path or "/", extra)
+        if exp_keys:
+            for k in exp_keys:
+                check_params_structure(expected[k], loaded[k], f"{_path}/{k}")
+        return
     hint = ""
     if any("batch_norm" in k for k in extra):
         hint = (" Hint: the checkpoint carries conformer BatchNorm tensors "

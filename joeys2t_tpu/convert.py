@@ -57,6 +57,10 @@ def torch_state_dict_to_flax(state_dict: Dict[str, "np.ndarray"]) -> Dict:
             continue
         if parts[-1] == "num_batches_tracked":  # BN bookkeeping, not needed
             continue
+        if "pe" in parts and parts[-1] == "pe":
+            # sinusoidal positional-encoding buffer: a constant table we
+            # recompute (models/modules.py sinusoidal_pe), not a parameter
+            continue
 
         if parts[0] in ("src_embed", "trg_embed") and parts[1] == "lut":
             _set(tree, (parts[0], "lut", "embedding"), value)

@@ -106,10 +106,13 @@ class TestStructureCheck:
         with pytest.raises(ValueError, match="conv_norm"):
             check_params_structure(expected, loaded)
 
-    def test_generic_mismatch_lists_keys(self):
+    def test_missing_key_raises_extras_warn(self):
         import pytest
 
         from joeys2t_tpu.checkpoints import check_params_structure
 
-        with pytest.raises(ValueError, match="missing.*extra_key|unexpected"):
-            check_params_structure({"a": 1}, {"a": 1, "extra_key": 2})
+        with pytest.raises(ValueError, match="missing"):
+            check_params_structure({"a": 1, "b": 1}, {"a": 1})
+        # extras alone are harmless (flax apply ignores them — e.g. the
+        # constant PE buffer old conversions carried): warn, don't raise
+        check_params_structure({"a": 1}, {"a": 1, "extra_key": 2})
