@@ -145,3 +145,60 @@ def test_tp_shardings_structure():
     # embeddings + norms replicated
     assert specs["['src_embed']['lut']['embedding']"] == P()
     assert specs["['encoder']['layer_0']['layer_norm']['scale']"] == P()
+
+
+def test_search_under_mesh_matches_unsharded():
+    """Greedy and beam search with an installed data-parallel mesh (inputs
+    dim-0 sharded, GSPMD propagating through the decode while_loop — the
+    multi-chip serving path) must produce exactly the unsharded results,
+    including the beam-shared cross-cache layout (B untiled vs B*K self)."""
+    import numpy as np
+
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.models import build_model
+    from joeys2t_tpu.parallel.mesh import get_mesh, set_default_mesh
+    from joeys2t_tpu.search import beam_search, greedy
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary([f"t{i}" for i in range(20)], SpecialSymbols())
+    side = {"type": "transformer", "num_layers": 2, "num_heads": 2,
+            "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+            "embeddings": {"embedding_dim": 16, "scale": True},
+            "layer_norm": "pre"}
+    model, spec = build_model({"encoder": dict(side), "decoder": dict(side)},
+                              src_vocab=vocab, trg_vocab=vocab)
+    b, s = 8, 7  # divides the 4-device data axis
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randint(4, 24, size=(b, s)), jnp.int32)
+    src_mask = jnp.ones((b, 1, s), bool)
+    params = model.init({"params": jax.random.PRNGKey(2)}, src,
+                        jnp.ones((b, 3), jnp.int32),
+                        jnp.full((b,), s, jnp.int32), src_mask,
+                        jnp.ones((b, 1, 3), bool))["params"]
+    enc, _, _ = model.apply({"params": params}, src,
+                            jnp.full((b,), s, jnp.int32), src_mask,
+                            method="encode")
+
+    g_ref, _, _ = greedy(params, model, spec, enc, None, src_mask, 12)
+    b_ref, bs_ref, _ = beam_search(params, model, spec, enc, None, src_mask,
+                                   3, 12, alpha=1.0, n_best=1,
+                                   return_prob="hyp")
+
+    ctx = get_mesh(n_devices=4, model_parallel=1)
+    set_default_mesh(ctx)
+    try:
+        sharded_enc = jax.device_put(enc, ctx.data_sharding)
+        sharded_mask = jax.device_put(src_mask, ctx.data_sharding)
+        with ctx.mesh:
+            g_sh, _, _ = greedy(params, model, spec, sharded_enc, None,
+                                sharded_mask, 12)
+            b_sh, bs_sh, _ = beam_search(params, model, spec, sharded_enc,
+                                         None, sharded_mask, 3, 12,
+                                         alpha=1.0, n_best=1,
+                                         return_prob="hyp")
+    finally:
+        set_default_mesh(None)
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_sh))
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_sh))
+    np.testing.assert_allclose(np.asarray(bs_ref), np.asarray(bs_sh),
+                               atol=1e-5)
