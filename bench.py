@@ -81,9 +81,15 @@ def _bench_train_step(model, spec, params, batch_size=16, n_frames=1000,
     loss_fn = XentCTCLoss(pad_index=spec.pad_index, bos_index=spec.bos_index,
                           smoothing=0.1, ctc_weight=0.3)
     tx = optax.adamw(1e-4)
+    # the step below donates its state args; copy so the caller's params
+    # survive and this helper stays re-entrant
+    params = jax.tree.map(jnp.copy, params)
     opt_state = tx.init(params)
 
-    @jax.jit
+    from functools import partial
+
+    # donate like the real TrainManager step: state is updated in place
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, dummy):
         def loss(p):
             logits, ctc_logits, out_mask = model.apply(

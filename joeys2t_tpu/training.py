@@ -213,7 +213,10 @@ class TrainManager:
         return norm, metrics
 
     def _make_train_step(self):
-        @jax.jit
+        # params/opt_state are replaced by the returned trees every step, so
+        # their input buffers are donated — XLA updates ~3x param-size state
+        # in place instead of allocating fresh output buffers each step
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, dropout_rng, batch, normalizer):
             (_, metrics), grads = jax.value_and_grad(
                 self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
@@ -225,7 +228,9 @@ class TrainManager:
         return train_step
 
     def _make_accum_step(self):
-        @jax.jit
+        # the running grad sum is consumed and re-returned; params stay live
+        # across the accumulation window and must not be donated
+        @partial(jax.jit, donate_argnums=(1,))
         def accum_step(params, accum, dropout_rng, batch, normalizer):
             (_, metrics), grads = jax.value_and_grad(
                 self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
@@ -236,7 +241,9 @@ class TrainManager:
         return accum_step
 
     def _make_apply_accum(self):
-        @jax.jit
+        # all three inputs die here: params/opt_state are replaced by the
+        # returns and the grad sum is reset to None by the caller
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def apply_accum(params, opt_state, accum):
             updates, opt_state = self.tx.update(accum, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -455,7 +462,13 @@ class TrainManager:
                         self.stats.best_ckpt_iter, self.stats.best_ckpt_score,
                         self.args.early_stopping_metric)
         finally:
-            self._save_checkpoint(False, float("nan"))
+            try:
+                self._save_checkpoint(False, float("nan"))
+            except RuntimeError as e:
+                # an interrupt that lands inside the jitted step can leave
+                # self.params pointing at donated (deleted) buffers; prefer
+                # losing the final snapshot over crashing the shutdown path
+                logger.warning("Final checkpoint skipped (%s)", e)
             if self.tb_writer is not None:
                 self.tb_writer.close()
 
