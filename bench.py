@@ -62,7 +62,7 @@ def _bench_beam_p50(model, spec, params, batch_size=32, n_frames=1000,
             "beam_batch_size": batch_size, "beam_size": beam_size}
 
 
-def _bench_train_step(model, spec, params, batch_size=16, n_frames=1000,
+def _bench_train_step(model, spec, params, batch_size=128, n_frames=1000,
                       trg_len=48, iters=5):
     """Training throughput: audio seconds consumed per wall second per chip."""
     import optax
