@@ -124,7 +124,7 @@ def main():
 
     model, spec = _build()  # 16L enc / 8L dec / h512 / ff2048, bf16 compute
 
-    batch_size = 512  # throughput climbs with batch (see docs/benchmarks_s2t.md);
+    batch_size = 1024  # throughput saturates here (see docs/benchmarks_s2t.md);
     # compile time is amortized by the persistent cache above
     audio_seconds = 10.0
     n_frames = 1000  # 10s at 10ms shift

@@ -189,6 +189,13 @@ def check_params_structure(expected, loaded, _path=""):
     when the model is built with ``conv_norm: batchnorm``."""
     exp_keys = set(expected) if isinstance(expected, dict) else None
     got_keys = set(loaded) if isinstance(loaded, dict) else None
+    if (exp_keys is None) != (got_keys is None):
+        kind = ("a parameter tensor but the checkpoint has a sub-module"
+                if exp_keys is None else
+                "a sub-module but the checkpoint has a bare tensor")
+        raise ValueError(
+            f"Checkpoint does not match the built model at '{_path or '/'}': "
+            f"the model expects {kind} here.")
     if exp_keys == got_keys:
         if exp_keys:
             for k in exp_keys:
@@ -196,9 +203,12 @@ def check_params_structure(expected, loaded, _path=""):
         return
     missing = sorted((exp_keys or set()) - (got_keys or set()))
     extra = sorted((got_keys or set()) - (exp_keys or set()))
-    if not missing:
-        # extras alone are harmless (flax apply ignores them — e.g. constant
-        # buffers carried by old conversions); warn and continue
+    # extra leaf tensors are harmless (flax apply ignores them — e.g. constant
+    # PE buffers carried by old conversions), but an extra *subtree* is a
+    # whole unused module (e.g. a 6-layer checkpoint loaded into a 4-layer
+    # config) — that is an architecture mismatch, not clutter
+    extra_subtrees = [k for k in extra if isinstance(loaded[k], dict)]
+    if not missing and not extra_subtrees:
         logger.warning("Checkpoint carries unused entries at '%s': %s",
                        _path or "/", extra)
         if exp_keys:
@@ -214,6 +224,12 @@ def check_params_structure(expected, loaded, _path=""):
         hint = (" Hint: the model was built with `conv_norm: batchnorm` but "
                 "the checkpoint has no BatchNorm tensors — drop the setting "
                 "or convert a conformer checkpoint.")
+    if missing:
+        raise ValueError(
+            f"Checkpoint does not match the built model at '{_path or '/'}': "
+            f"missing {missing}, unexpected {extra or '[]'}.{hint}")
     raise ValueError(
         f"Checkpoint does not match the built model at '{_path or '/'}': "
-        f"missing {missing or '[]'}, unexpected {extra or '[]'}.{hint}")
+        f"it carries whole unused sub-modules {extra_subtrees} (e.g. more "
+        f"layers than the config builds) — trained weights would be "
+        f"silently ignored.{hint}")

@@ -467,7 +467,10 @@ class TrainManager:
             except RuntimeError as e:
                 # an interrupt that lands inside the jitted step can leave
                 # self.params pointing at donated (deleted) buffers; prefer
-                # losing the final snapshot over crashing the shutdown path
+                # losing the final snapshot over crashing the shutdown path.
+                # Any other save failure should still surface loudly.
+                if "deleted" not in str(e).lower():
+                    raise
                 logger.warning("Final checkpoint skipped (%s)", e)
             if self.tb_writer is not None:
                 self.tb_writer.close()

@@ -191,11 +191,16 @@ def bench_train_step(batch=16, seq=1000, trg_len=48):
 
     t = timeit(lambda: step(params, opt_state), iters=5, warmup=2)
     audio_sec = batch * seq / 100.0
-    # MFU estimate: 6*N FLOPs per processed token fwd+bwd (matmul-dominated
-    # transformer rule of thumb; conv subsampler/CTC excluded -> lower bound)
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    tokens = batch * (seq // 4 + trg_len)  # post-subsample enc + dec tokens
-    mfu = 6.0 * n_params * tokens / t / 197e12  # v5e bf16 peak 197 TFLOP/s
+    # MFU estimate: 6*N FLOPs per token fwd+bwd (matmul rule of thumb),
+    # attributing each stack's params to its own tokens — encoder params to
+    # post-subsample encoder tokens, decoder+embedding params to target
+    # tokens. Charging all params to all tokens (the naive 6*N*T) would
+    # overcount ~2x for an encoder-decoder model. Attention-score matmuls,
+    # conv subsampler and CTC are excluded.
+    n_enc = sum(x.size for x in jax.tree.leaves(params["encoder"]))
+    n_dec = sum(x.size for x in jax.tree.leaves(params)) - n_enc
+    flops = 6.0 * batch * (n_enc * (seq // 4) + n_dec * trg_len)
+    mfu = flops / t / 197e12  # v5e bf16 peak 197 TFLOP/s
     print(json.dumps({"bench": "train_step", "batch": batch, "frames": seq,
                       "est_mfu_pct": round(100 * mfu, 1),
                       "step_ms": round(t * 1e3, 1),

@@ -113,6 +113,30 @@ class TestStructureCheck:
 
         with pytest.raises(ValueError, match="missing"):
             check_params_structure({"a": 1, "b": 1}, {"a": 1})
-        # extras alone are harmless (flax apply ignores them — e.g. the
+        # extra LEAVES alone are harmless (flax apply ignores them — e.g. the
         # constant PE buffer old conversions carried): warn, don't raise
         check_params_structure({"a": 1}, {"a": 1, "extra_key": 2})
+
+    def test_extra_subtree_raises(self):
+        """A whole unused sub-module (e.g. a 6-layer checkpoint into a
+        4-layer config) is an architecture mismatch, not clutter."""
+        import pytest
+
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        expected = {"encoder": {"layer_0": {"k": 1}}}
+        loaded = {"encoder": {"layer_0": {"k": 1}, "layer_1": {"k": 1}}}
+        with pytest.raises(ValueError, match="unused sub-modules"):
+            check_params_structure(expected, loaded)
+
+    def test_leaf_vs_subtree_mismatch_raises(self):
+        """A dict where the model expects a tensor (and vice versa) must
+        raise readably instead of passing as 'extras'."""
+        import pytest
+
+        from joeys2t_tpu.checkpoints import check_params_structure
+
+        with pytest.raises(ValueError, match="sub-module"):
+            check_params_structure({"a": 1}, {"a": {"scale": 1, "bias": 1}})
+        with pytest.raises(ValueError, match="bare tensor"):
+            check_params_structure({"a": {"scale": 1}}, {"a": 1})

@@ -179,6 +179,9 @@ def test_search_under_mesh_matches_unsharded():
                             jnp.full((b,), s, jnp.int32), src_mask,
                             method="encode")
 
+    # the reference runs must be genuinely unsharded — clear any default
+    # mesh a previously-run test (e.g. a TrainManager) left installed
+    set_default_mesh(None)
     g_ref, _, _ = greedy(params, model, spec, enc, None, src_mask, 12)
     b_ref, bs_ref, _ = beam_search(params, model, spec, enc, None, src_mask,
                                    3, 12, alpha=1.0, n_best=1,
