@@ -152,6 +152,45 @@ def bench_beam_latency(batch=8, beam=5):
                       "p50_ms_per_utt": round(p50 * 1e3 / batch, 1)}))
 
 
+def bench_online_latency(seconds=10, max_len=96):
+    """Single-utterance (B=1) greedy latency: the online-serving number.
+
+    End-to-end fbank-features -> text tokens for one utterance, p50 over
+    repeated runs. Includes the ~1ms per-dispatch floor of the remote-TPU
+    tunnel (real deployments on a local host see less)."""
+    from __graft_entry__ import _build
+    from joeys2t_tpu.search import transformer_greedy
+
+    model, spec = _build()
+    n_frames = seconds * 100
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(1, n_frames, 80).astype(np.float32))
+    src_length = jnp.full((1,), n_frames, jnp.int32)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, src, jnp.ones((1, 8), jnp.int32),
+        src_length, None, jnp.ones((1, 1, 8), bool))["params"]
+
+    @jax.jit
+    def encode(p, s, l):
+        return model.apply({"params": p}, s, l, None, method="encode")
+
+    def run():
+        enc, _, msk = encode(params, src, src_length)
+        out, _, _ = transformer_greedy(params, model, spec, enc, msk, max_len)
+        return out
+
+    run()  # compile
+    times = []
+    for _ in range(9):
+        start = time.perf_counter()
+        run()  # transformer_greedy returns host numpy == synced
+        times.append(time.perf_counter() - start)
+    p50 = sorted(times)[len(times) // 2]
+    print(json.dumps({"bench": "online_greedy_b1", "audio_sec": seconds,
+                      "p50_ms": round(p50 * 1e3, 1),
+                      "rtfx": round(seconds / p50, 1)}))
+
+
 def bench_train_step(batch=16, seq=1000, trg_len=48):
     from __graft_entry__ import _build
     import optax
@@ -256,7 +295,8 @@ def bench_serving(batch=32, seconds=10):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench", nargs="*", default=["attention", "greedy", "beam",
-                                                   "train", "frontend", "serving"])
+                                                   "online", "train", "frontend",
+                                                   "serving"])
     args = ap.parse_args()
     print(json.dumps({"device": str(jax.devices()[0])}))
     if "attention" in args.bench:
@@ -265,6 +305,8 @@ if __name__ == "__main__":
         bench_greedy_sweep()
     if "beam" in args.bench:
         bench_beam_latency()
+    if "online" in args.bench:
+        bench_online_latency()
     if "train" in args.bench:
         bench_train_step()
     if "frontend" in args.bench:
