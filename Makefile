@@ -1,4 +1,4 @@
-.PHONY: install test bench check format clean
+.PHONY: install test bench check ci format clean
 
 install:
 	pip install -e .
@@ -12,8 +12,17 @@ bench:
 bench-detail:
 	python scripts/bench_detail.py
 
+# Lint gate: fails on any finding (mirrors the reference's lint CI,
+# /root/reference/.github/workflows/main.yml:44-51 — yapf/pylint/flake8 there;
+# neither pyflakes nor flake8 ships in this image, so the gate is first-party).
 check:
-	python -m pyflakes joeys2t_tpu scripts tests 2>/dev/null || true
+	python scripts/lint.py
+
+# Full CI gate: lint + the complete pytest suite on the virtual 8-device CPU
+# mesh (tests/conftest.py sets XLA_FLAGS/JAX_PLATFORMS). Fails on any lint
+# finding or test regression.
+ci: check
+	python -m pytest tests/ -q
 
 clean:
 	rm -rf __pycache__ .pytest_cache build dist *.egg-info

@@ -169,14 +169,17 @@ def main():
     # remaining north stars (BASELINE.json): beam p50 latency + train
     # throughput, so the driver-recorded JSON catches regressions there too
     extra = {}
+    degraded = False
     try:
         extra.update(_bench_beam_p50(model, spec, params))
-    except Exception as e:  # never lose the headline metric
+    except Exception as e:  # never lose the headline metric...
         extra["beam_error"] = str(e)[:200]
+        degraded = True  # ...but a broken north-star path must fail the run
     try:
         extra.update(_bench_train_step(model, spec, params))
     except Exception as e:
         extra["train_error"] = str(e)[:200]
+        degraded = True
 
     result = {
         "metric": "asr_greedy_decode_RTFx",
@@ -193,7 +196,13 @@ def main():
             **extra,
         },
     }
+    if degraded:
+        result["degraded"] = True
     print(json.dumps(result))
+    if degraded:
+        # beam or train north-star metric silently missing would otherwise
+        # look like a healthy run (VERDICT r2 weak #6)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

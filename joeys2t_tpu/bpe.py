@@ -145,6 +145,12 @@ class BPE:
         parts: List[Tuple[str, bool]] = [(word, False)]
         for gloss in self.glossaries:
             pattern = re.compile(f"({gloss})")
+            # re.split emits every capture group: with a glossary regex that
+            # itself contains k groups, each match contributes 1 (our wrapper,
+            # the whole match) + k (inner, substrings of the whole match)
+            # fields. Classify by stride, not odd/even, and drop the inner
+            # duplicates.
+            ng = pattern.groups
             nxt: List[Tuple[str, bool]] = []
             for seg, is_gloss in parts:
                 if is_gloss:
@@ -152,8 +158,12 @@ class BPE:
                     continue
                 pieces = pattern.split(seg)
                 for i, piece in enumerate(pieces):
-                    if piece:
-                        nxt.append((piece, i % 2 == 1))  # odd = captured match
+                    pos = i % (ng + 1)
+                    if pos == 0 and piece:  # between-match text
+                        nxt.append((piece, False))
+                    elif pos == 1 and piece:  # wrapper group = whole match
+                        nxt.append((piece, True))
+                    # pos >= 2: inner groups of the glossary regex — skip
             parts = nxt
         return parts
 

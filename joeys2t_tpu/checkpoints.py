@@ -104,14 +104,17 @@ class CheckpointManager:
 
             assert len(self.ckpt_queue) <= self.keep_best_ckpts
 
-            # remove old symlink target if it fell out of the queue
-            if prev_path is not None:
-                prev = self.model_dir / prev_path.name \
-                    if not Path(prev_path).is_absolute() else Path(prev_path)
-                if prev.stem not in [c[1].stem for c in self.ckpt_queue] \
-                        and prev.stem != best_path.resolve().stem \
-                        and prev.stem != str(steps) and prev.exists():
-                    delete_ckpt(prev)
+        # remove old symlink target if it fell out of the queue — outside the
+        # scored branch so the score=nan final save (interrupt/end-of-train)
+        # also cleans up a deferred worst-of-K+1 newcomer instead of leaving
+        # it on disk forever
+        if self.keep_best_ckpts > 0 and prev_path is not None:
+            prev = self.model_dir / prev_path.name \
+                if not Path(prev_path).is_absolute() else Path(prev_path)
+            if prev.stem not in [c[1].stem for c in self.ckpt_queue] \
+                    and prev.stem != best_path.resolve().stem \
+                    and prev.stem != str(steps) and prev.exists():
+                delete_ckpt(prev)
         return model_path
 
 

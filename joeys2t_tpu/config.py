@@ -9,7 +9,6 @@ unchanged. Device handling is JAX-native: `use_cuda: True` maps to "run on the
 default JAX backend (TPU)", fp16 maps to bfloat16 compute on TPU.
 """
 import dataclasses
-import sys
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 

@@ -139,23 +139,32 @@ class TransformerDecoder(nn.Module):
 
     # ------------------------------------------------------------ decode path
     def init_cache(self, encoder_output: jnp.ndarray, max_len: int,
-                   cache_dtype: Any = None) -> Dict[str, Dict[str, jnp.ndarray]]:
+                   cache_dtype: Any = None,
+                   src_valid: Optional[jnp.ndarray] = None,
+                   ) -> Dict[str, Dict[str, jnp.ndarray]]:
         """Build the decode cache: precomputed cross K/V per layer + zeroed
         self-attention ring buffers of length ``max_len``.
 
         Layout is (B, H, S, D): per-head K/V slabs are contiguous, which the
         Pallas decode-attention kernel streams directly
         (ops/decode_attention.py) and the einsum fallback contracts without
-        transposes."""
+        transposes.
+
+        ``src_valid`` ((B, S) bool) marks real source positions; int8
+        quantization scales exclude padded frames (garbage encoder outputs
+        there would otherwise inflate the per-channel abs-max and waste
+        precision on the positions that matter)."""
         cache_dtype = cache_dtype or self.dtype
         b = encoder_output.shape[0]
         head_size = self.hidden_size // self.num_heads
         cache = {}
 
         def quantize(x):  # (B, H, S, Dh) -> int8 values + (B, H, Dh) scales
-            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
-                            keepdims=True) / 127.0 + 1e-8
-            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+            xf = x.astype(jnp.float32)
+            xs = xf if src_valid is None else jnp.where(
+                src_valid[:, None, :, None], xf, 0.0)
+            scale = jnp.max(jnp.abs(xs), axis=2, keepdims=True) / 127.0 + 1e-8
+            q = jnp.clip(jnp.round(xf / scale), -127, 127)
             return q.astype(jnp.int8), scale[:, :, 0, :].astype(jnp.float32)
 
         for i, layer in enumerate(self.layers):

@@ -153,8 +153,10 @@ class Seq2SeqModel(nn.Module):
 
     # ------------------------------------------------------------ decode (AR)
     def init_cache(self, encoder_output: jnp.ndarray, max_len: int,
-                   cache_dtype: Any = None) -> Dict:
-        return self.decoder.init_cache(encoder_output, max_len, cache_dtype)
+                   cache_dtype: Any = None,
+                   src_valid: Optional[jnp.ndarray] = None) -> Dict:
+        return self.decoder.init_cache(encoder_output, max_len, cache_dtype,
+                                       src_valid=src_valid)
 
     def decode_step(
         self,

@@ -223,20 +223,27 @@ class MultiHeadedAttention(nn.Module):
                        scale_layout=None, return_weights=False):
         """Fallback decode attention on (B, H, S, D) caches with optional
         int8 dequant. q_h: (B, 1, H, D); bias: (B, S) additive."""
-        if k.dtype == jnp.int8:
-            if scale_layout == "position":  # (B, H, S)
-                k = k.astype(self.dtype) * k_scale[..., None].astype(self.dtype)
-                v = v.astype(self.dtype) * v_scale[..., None].astype(self.dtype)
-            else:  # per-channel (B, H, D)
-                k = k.astype(self.dtype) * k_scale[:, :, None, :].astype(self.dtype)
-                v = v.astype(self.dtype) * v_scale[:, :, None, :].astype(self.dtype)
+        # int8 caches: never materialize a dequantized K/V copy — fold the
+        # scales into the small per-step tensors instead (q / scores for K,
+        # weights / context for V), leaving only the int8->dtype convert on
+        # the cache read itself.
         q_h = q_h / math.sqrt(self.head_size)
+        if k.dtype == jnp.int8 and scale_layout != "position":
+            # per-channel (B, H, D) scale runs along the contracted dim of
+            # the score einsum — exact to fold into q
+            q_h = q_h * k_scale[:, None, :, :].astype(q_h.dtype)
         scores = jnp.einsum("bqhd,bhkd->bhqk", q_h, k.astype(self.dtype),
                             preferred_element_type=jnp.float32)
+        if k.dtype == jnp.int8 and scale_layout == "position":
+            scores = scores * k_scale[:, :, None, :]  # (B, H, S) per-position
         scores = scores + bias[:, None, None, :]
         weights = jax.nn.softmax(scores, axis=-1)  # f32
+        if v.dtype == jnp.int8 and scale_layout == "position":
+            weights = weights * v_scale[:, :, None, :]
         ctx = jnp.einsum("bhqk,bhkd->bqhd", weights.astype(self.dtype),
                          v.astype(self.dtype))
+        if v.dtype == jnp.int8 and scale_layout != "position":
+            ctx = ctx * v_scale[:, None, :, :].astype(ctx.dtype)
         out = self.output_layer(self._merge_heads(ctx))
         if return_weights:
             return out, jnp.mean(weights, axis=1)
@@ -323,17 +330,21 @@ class MultiHeadedAttention(nn.Module):
         if beam_k > 1:
             assert q_h.shape[0] == b * beam_k, (q_h.shape, b, beam_k)
             assert not return_weights  # beam search never returns attention
-            if k_h.dtype == jnp.int8:  # dequantize per-channel in the fusion
-                k_h = k_h.astype(self.dtype) * k_scale[:, :, None, :].astype(self.dtype)
-                v_h = v_h.astype(self.dtype) * v_scale[:, :, None, :].astype(self.dtype)
             qk = (q_h[:, 0].reshape(b, beam_k, self.num_heads, self.head_size)
                   / math.sqrt(self.head_size))
+            if k_h.dtype == jnp.int8:
+                # fold the per-channel (B, H, D) scales into q / context so no
+                # dequantized K/V copy is ever materialized — the whole point
+                # of int8 here is saving cache HBM traffic in the beam case
+                qk = qk * k_scale[:, None, :, :].astype(qk.dtype)
             scores = jnp.einsum("bkhd,bhsd->bkhs", qk, k_h.astype(self.dtype),
                                 preferred_element_type=jnp.float32)
             scores = scores + bias[:, None, None, :]
             weights = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bkhs,bhsd->bkhd", weights.astype(self.dtype),
                              v_h.astype(self.dtype))
+            if v_h.dtype == jnp.int8:
+                ctx = ctx * v_scale[:, None, :, :].astype(ctx.dtype)
             out = self.output_layer(
                 ctx.reshape(b * beam_k, 1, self.size).astype(self.dtype))
             return out, None

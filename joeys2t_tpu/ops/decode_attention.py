@@ -153,6 +153,13 @@ def decode_attention(
     """Single-step attention context (B, H, D) with fused int8 dequant."""
     b, h, s, d = k.shape
     bb = batch_block
+    # VMEM budget: the K+V slabs (plus the kernel's per-head f32 upcast
+    # temporaries) must fit in ~16MB of VMEM. At the default bb=8 a long
+    # source (S~2-3k, H=8, D=64, bf16) would stage ~24MB and fail to
+    # compile — shrink the batch block until the slabs fit.
+    slab_bytes = 2 * h * s * d * jnp.dtype(k.dtype).itemsize  # K+V per row
+    while bb > 1 and bb * slab_bytes > 8 * 1024 * 1024:
+        bb //= 2
     while b % bb != 0:  # batch must tile evenly; fall back to smaller blocks
         bb //= 2
     if k_scale is None:

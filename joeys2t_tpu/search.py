@@ -152,7 +152,8 @@ def _transformer_greedy_jit(
                        or no_repeat_ngram_size > 0 or has_encoder_input)
 
     params = _cast_params_to_compute_dtype(params, model)
-    cache = model.apply({"params": params}, encoder_output, l1, method="init_cache")
+    cache = model.apply({"params": params}, encoder_output, l1,
+                        src_valid=src_mask[:, 0, :], method="init_cache")
     ys = jnp.full((b, l1), spec.pad_index, jnp.int32).at[:, 0].set(spec.bos_index)
     yv = jnp.zeros((b, l1), jnp.float32)
     yt = jnp.zeros((b, l1, s), jnp.float32) if return_attention else jnp.zeros((1,))
@@ -415,7 +416,7 @@ def _beam_search_jit(
     # the dominant decode traffic. Only the self ring buffers carry B*K rows.
     msk = src_mask
     cache = model.apply({"params": params}, encoder_output, l1,
-                        method="init_cache")
+                        src_valid=msk[:, 0, :], method="init_cache")
     cache = {
         layer: {key: (tile(val) if key.startswith("self_") else val)
                 for key, val in entries.items()}

@@ -4,9 +4,7 @@ the CPU backend; the same kernel compiles on TPU). Covers bf16, int8 with
 per-channel scales (cross cache) and int8 with per-position scales (self
 ring buffer). Cache layout: (B, H, S, D)."""
 import numpy as np
-import pytest
 
-import jax
 import jax.numpy as jnp
 
 from joeys2t_tpu.ops.decode_attention import (NEG_INF, decode_attention,

@@ -14,7 +14,7 @@ from generate_reverse_task import generate_samples  # noqa: E402
 
 from joeys2t_tpu.checkpoints import load_checkpoint  # noqa: E402
 from joeys2t_tpu.helpers import make_model_dir  # noqa: E402
-from joeys2t_tpu.training import _freeze_mask, frozen_prefixes, train  # noqa: E402
+from joeys2t_tpu.training import frozen_prefixes, train  # noqa: E402
 
 REPO = Path(__file__).parent.parent
 
@@ -60,7 +60,7 @@ def test_frozen_encoder_unchanged():
     # re-derive the initial params with the same seed and compare encoders
     import jax
 
-    from joeys2t_tpu.config import parse_global_args, load_config
+    from joeys2t_tpu.config import parse_global_args
     from joeys2t_tpu.prediction import init_params
     from joeys2t_tpu.models import build_model
     from joeys2t_tpu.vocabulary import Vocabulary

@@ -9,7 +9,6 @@ single-step decode must reproduce the full teacher-forced forward.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from joeys2t_tpu.config import SpecialSymbols
 from joeys2t_tpu.models import build_model

@@ -2,7 +2,6 @@
 """Scheduler/optimizer numerics vs the reference formulas
 (joeynmt/builders.py:290-485)."""
 import numpy as np
-import optax
 import pytest
 
 from joeys2t_tpu.optim import (

@@ -165,8 +165,6 @@ def test_s2t_beam_wer_eval_protocol():
     and assert the WER, replicating the librispeech_960h.yaml protocol
     (/root/reference/configs/librispeech_960h.yaml,
     /root/reference/joeynmt/metrics.py:110-131)."""
-    import numpy as np
-
     from joeys2t_tpu.config import parse_global_args
     from joeys2t_tpu.prediction import predict, prepare, test as run_test
 

@@ -10,7 +10,7 @@ import pytest
 from joeys2t_tpu.config import SpecialSymbols
 from joeys2t_tpu.data.batch import Batch
 from joeys2t_tpu.models import build_model
-from joeys2t_tpu.search import beam_search, greedy, search, transformer_greedy
+from joeys2t_tpu.search import beam_search, greedy, search
 from joeys2t_tpu.vocabulary import Vocabulary
 
 VOCAB_SIZE = 26
