@@ -114,16 +114,25 @@ class BaseDataset:
         item = _remove_escape(self.tokenizer[lang](line, is_train=is_train))
 
         if self.has_prompt[lang] and prompt is not None:
-            prompt = _remove_escape(self.tokenizer[lang](prompt, is_train=False))
-            item = item if item is not None else []
-            max_length = self.tokenizer[lang].max_length
-            if 0 < max_length < len(prompt) + len(item) + 1:
-                offset = max_length - len(item) - 1
-                if prompt[0] in self.tokenizer[lang].lang_tags:
-                    prompt = [prompt[0]] + prompt[-(offset - 1):]
+            # splice `prompt <sep> item`, truncating the PROMPT (keeping its
+            # tail, and a leading language tag if present) so the combined
+            # sequence fits the tokenizer's max_length
+            # (joeynmt/datasets.py:105-140 semantics)
+            tok = self.tokenizer[lang]
+            prompt = _remove_escape(tok(prompt, is_train=False))
+            item = item or []
+            limit = tok.max_length
+            combined_len = len(prompt) + 1 + len(item)  # +1 for <sep>
+            if 0 < limit < combined_len:
+                keep = limit - 1 - len(item)  # prompt tokens that still fit
+                # negative-index slice deliberately mirrors the reference's
+                # edge behavior: keep <= 0 degrades to keeping the full
+                # prompt tail rather than raising
+                if prompt[0] in tok.lang_tags:
+                    prompt = [prompt[0]] + prompt[-(keep - 1):]
                 else:
-                    prompt = prompt[-offset:]
-            item = prompt + [self.tokenizer[lang].sep_token] + item
+                    prompt = prompt[-keep:]
+            item = prompt + [tok.sep_token] + item
         return item
 
     def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
@@ -206,12 +215,12 @@ class BaseDataset:
         shuffle = shuffle and self.split == "train"
 
         # Multi-host: training data shards rank-strided across processes
-        # (joeynmt/helpers_for_ddp.py:244-343 semantics). Evaluation data is
-        # deliberately NOT sharded — every process decodes the full set and
-        # rank 0 reports, which replaces the reference's all_gather +
-        # index-based order restoration (joeynmt/prediction.py:220-257) with
-        # redundant-but-simple computation (eval is a small fraction of a
-        # training run; device-level parallelism still applies within a host).
+        # (joeynmt/helpers_for_ddp.py:244-343 semantics). Evaluation batches
+        # are produced identically on every process (deterministic sampler,
+        # shuffle=False) — the DECODE work is then sharded round-robin over
+        # batches inside predict() and gathered with order restoration
+        # (prediction._eval_shard_info / _merge_sharded_eval), matching
+        # joeynmt/prediction.py:220-257 without shape reconciliation.
         if _multi_process() and self.split == "train":
             sampler = ShardedSubsetSampler(self, shuffle=shuffle, seed=seed)
         else:

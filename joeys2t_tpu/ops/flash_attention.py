@@ -63,8 +63,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / l
     # per-row logsumexp residual: the backward pass rebuilds normalized
-    # probabilities as exp(s - lse) without re-deriving max/sum per block
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    # probabilities as exp(s - lse) without re-deriving max/sum per block.
+    # Shape (BQ, 1): the trailing singleton keeps the block 2-D for Mosaic
+    # (last two block dims must be (8k, 128m) or equal the array dims).
+    lse_ref[0, 0] = m + jnp.log(l)
     if dropout_rate > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
         keep = _dropout_mask(p.shape, dropout_rate)
@@ -83,13 +85,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     bias = bias_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)  # (BQ, D)
     o = o_ref[0, 0].astype(jnp.float32)  # (BQ, D)
-    lse = lse_ref[0, 0]  # (BQ,) forward-pass logsumexp residual
+    lse = lse_ref[0, 0]  # (BQ, 1) forward-pass logsumexp residual
     delta = jnp.sum(do * o, axis=-1)  # (BQ,) rowsum(do * o_dropped)
 
     s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s + bias[None, :]
-    p = jnp.exp(s - lse[:, None])  # normalized probs via stored lse (BQ, S)
+    p = jnp.exp(s - lse)  # normalized probs via the stored lse (BQ, S)
 
     dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (BQ, S)
@@ -205,12 +207,12 @@ def _flash_fwd(q, k, v, bias, sm_scale, dropout_rate, seed):
             pl.BlockSpec((1, 1, BLOCK_Q, d),
                          lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda bi, hi, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, BLOCK_Q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q_p.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, q_p.shape[2]), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, q_p.shape[2], 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(_seed_arr(seed), q_p, k, v, bias[:, None, :])
@@ -259,7 +261,7 @@ def _flash_bwd(sm_scale, dropout_rate, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda bi, hi, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, BLOCK_Q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

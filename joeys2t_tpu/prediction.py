@@ -55,6 +55,92 @@ def build_loss_function(train_args, spec):
     return XentLoss(pad_index=spec.pad_index, smoothing=train_args.label_smoothing)
 
 
+def _eval_shard_info(args) -> Optional[Tuple[int, int]]:
+    """(process_count, process_index) when multi-process eval sharding
+    applies, else None.
+
+    Each process decodes only the batches it owns (round-robin by batch
+    index) and the hypotheses are all-gathered and restored to dataset
+    order — the reference's sharded-eval semantics
+    (joeynmt/helpers_for_ddp.py:244-343 DistributedSubsetSampler;
+    joeynmt/prediction.py:220-257 gather + reorder) without its shape
+    reconciliation: every rank runs the same deterministic batch sampler, so
+    all shapes and row counts are known everywhere. Attention-returning and
+    reference-scoring (``return_prob == 'ref'``) modes decode the full set
+    on every process instead (rare, and the attention tensors are large to
+    gather — mirrors the reference's greedy-only DDP validation restriction,
+    joeynmt/prediction.py:88-100)."""
+    try:
+        n = jax.process_count()
+    except Exception:  # pragma: no cover - backend not initialized
+        return None
+    if n > 1 and not args.return_attention and args.return_prob != "ref":
+        return n, jax.process_index()
+    return None
+
+
+def _merge_sharded_eval(outputs, scores, batch_rows, shard, pad_index,
+                        loss_vec):
+    """All-gather per-rank eval outputs and restore dataset order.
+
+    ``outputs``: list of 1-D int rows decoded locally (owned batches only,
+    in batch order). ``batch_rows``: rows contributed by EVERY batch (known
+    on all ranks). Rows are padded to the global max width with
+    ``pad_index`` — identical to the in-batch padding the search loop
+    already emits. Returns (merged_outputs, merged_scores, summed_loss_vec).
+    """
+    from jax.experimental import multihost_utils
+
+    n_proc, _ = shard
+    r_local = len(outputs)
+    w_local = max((len(o) for o in outputs), default=1)
+    has_scores = 1 if (r_local > 0 and len(scores) == r_local) else 0
+    # score rows are either scalars (beam sequence scores) or 1-D per-token
+    # vectors (greedy with return_prob='hyp'); scalars gather as width-0 rows
+    swidths = [0 if np.ndim(s) == 0 else len(s) for s in scores] \
+        if has_scores else []
+    ws_local = max(swidths, default=1)
+    meta = np.array([r_local, w_local, has_scores, ws_local], np.int64)
+    meta_all = np.asarray(multihost_utils.process_allgather(meta))
+    r_max = max(int(meta_all[:, 0].max()), 1)
+    w_max = int(meta_all[:, 1].max())
+    any_scores = bool(meta_all[:, 2].max())
+    ws_max = max(int(meta_all[:, 3].max()), 1)
+
+    block = np.full((r_max, w_max), pad_index, np.int32)
+    for i, o in enumerate(outputs):
+        block[i, :len(o)] = o
+    sblock = np.zeros((r_max, ws_max), np.float32)
+    swidth = np.zeros((r_max,), np.int32)
+    if has_scores:
+        for i, s in enumerate(scores):
+            if np.ndim(s) == 0:
+                sblock[i, 0] = float(s)
+            else:
+                sblock[i, :len(s)] = np.asarray(s, np.float32)
+                swidth[i] = len(s)
+
+    out_all = np.asarray(multihost_utils.process_allgather(block))
+    s_all = np.asarray(multihost_utils.process_allgather(sblock))
+    sw_all = np.asarray(multihost_utils.process_allgather(swidth))
+    loss_all = np.asarray(multihost_utils.process_allgather(
+        np.asarray(loss_vec, np.float64)))
+
+    cursors = [0] * n_proc
+    merged_o, merged_s = [], []
+    for bi, rows in enumerate(batch_rows):
+        owner = bi % n_proc
+        c = cursors[owner]
+        for r in range(rows):
+            merged_o.append(out_all[owner, c + r])
+            if any_scores:
+                w = int(sw_all[owner, c + r])
+                merged_s.append(s_all[owner, c + r, :w] if w
+                                else np.float32(s_all[owner, c + r, 0]))
+        cursors[owner] = c + rows
+    return merged_o, merged_s, loss_all.sum(axis=0)
+
+
 def make_eval_loss_step(model, loss_fn):
     """Jitted eval-loss step returning (total, nll, ctc, n_correct[, log_probs])."""
 
@@ -134,13 +220,19 @@ def predict(
     total_loss, total_nseqs, total_ntokens, total_n_correct = 0.0, 0, 0, 0
 
     eval_step = make_eval_loss_step(model, loss_fn) if compute_loss else None
+    shard = _eval_shard_info(args)
+    batch_rows: List[int] = []  # rows contributed by every batch (all ranks)
 
     gen_start_time = time.time()
     from joeys2t_tpu.data.batch import round_up_to_bucket
 
     batch: Batch
-    for raw_batch in valid_iter:
+    for bi, raw_batch in enumerate(valid_iter):
         nseqs_real = raw_batch.nseqs
+        batch_rows.append(nseqs_real * args.n_best)
+        if shard is not None and bi % shard[0] != shard[1]:
+            total_nseqs += nseqs_real  # counted globally; decode skipped
+            continue
         reverse_index = raw_batch.sort_by_src_length()
         sort_reverse_index = expand_reverse_index(reverse_index, args.n_best)
         # static-shape padding: fixed batch dim per (batch_size, bucket) combo
@@ -202,6 +294,18 @@ def predict(
 
     gen_duration = time.time() - gen_start_time
     logger.info("Generation took %.4f[sec].", gen_duration)
+
+    if shard is not None:
+        n_owned = sum(1 for bi in range(len(batch_rows))
+                      if bi % shard[0] == shard[1])
+        logger.info("Sharded eval: process %d decoded %d/%d batches.",
+                    shard[1], n_owned, len(batch_rows))
+        all_outputs, valid_seq_scores, loss_vec = _merge_sharded_eval(
+            all_outputs, valid_seq_scores, batch_rows, shard, spec.pad_index,
+            [total_loss, float(total_ntokens), float(total_n_correct)])
+        total_loss = float(loss_vec[0])
+        total_ntokens = int(loss_vec[1])
+        total_n_correct = int(loss_vec[2])
 
     assert total_nseqs == num_samples, (total_nseqs, num_samples)
     assert len(all_outputs) == num_samples * args.n_best, \

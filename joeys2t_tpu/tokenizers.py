@@ -53,17 +53,18 @@ class BasicTokenizer:
         assert self.pretokenizer in ["none", "moses"], \
             "Currently, we support moses tokenizer only."
         if self.pretokenizer == "moses":
+            # lazily bind the three sacremoses helpers this tokenizer uses;
+            # the dependency is optional (host-side text path only)
             try:
-                from sacremoses import (MosesDetokenizer, MosesPunctNormalizer,
-                                        MosesTokenizer)
+                import sacremoses
             except ImportError as e:
-                logger.error(e)
+                logger.error("pretokenize: 'moses' needs sacremoses (%s)", e)
                 raise ImportError from e
             self.lang = kwargs.get("lang", "en")
-            self.moses_tokenizer = MosesTokenizer(lang=self.lang)
-            self.moses_detokenizer = MosesDetokenizer(lang=self.lang)
+            self.moses_tokenizer = sacremoses.MosesTokenizer(lang=self.lang)
+            self.moses_detokenizer = sacremoses.MosesDetokenizer(lang=self.lang)
             if self.normalize:
-                self.moses_normalizer = MosesPunctNormalizer()
+                self.moses_normalizer = sacremoses.MosesPunctNormalizer()
 
     def pre_process(self, raw_input: str, allow_empty: bool = False) -> str:
         """joeynmt/tokenizers.py:72-102."""
@@ -95,8 +96,11 @@ class BasicTokenizer:
         return sequence
 
     def _filter_by_length(self, length: int) -> bool:
-        """True if the length is invalid (to be filtered out)."""
-        return length > self.max_length > 0 or self.min_length > length > 0
+        """True if the token count falls outside the configured [min, max]
+        window; a bound of <= 0 disables that side of the filter."""
+        too_long = self.max_length > 0 and length > self.max_length
+        too_short = self.min_length > 0 and 0 < length < self.min_length
+        return too_long or too_short
 
     def _remove_special(self, sequence: List[str], generate_unk: bool = False):
         specials = self.specials if generate_unk else self.specials + [self.unk_token]

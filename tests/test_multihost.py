@@ -150,10 +150,14 @@ PREDICT_WORKER = textwrap.dedent("""
     model, spec, params, loss_fn, _, dev_data, _ = prepare(
         args, rank=pid, mode="test")
     dev_data.reset_indices(random_subset=-1)
+    import joeys2t_tpu.prediction as P
+    orig_search, n_decoded = P.search, []
+    P.search = lambda *a, **k: (n_decoded.append(1), orig_search(*a, **k))[1]
     scores, _, hyp, _, _, _ = predict(
         params=params, model=model, spec=spec, data=dev_data,
         loss_fn=loss_fn, compute_loss=False, normalization="batch",
         num_workers=0, args=args.test)
+    print("NSEARCH " + str(len(n_decoded)), flush=True)
     print("HYPS " + json.dumps(hyp), flush=True)
 """)
 
@@ -162,11 +166,12 @@ PREDICT_WORKER = textwrap.dedent("""
                     reason="multi-process test disabled")
 def test_two_process_predict_order_matches_single_process(tmp_path):
     """Multi-process evaluation contract (joeynmt/prediction.py:220-257):
-    hypotheses come back complete and in dataset order on every process.
-    Our design decodes the full eval set on each process instead of
-    shard + all_gather + reorder (joeys2t_tpu/data/datasets.py make_iter
-    note); this test pins the observable semantics: a 2-process predict()
-    equals the single-process result, rank for rank."""
+    hypotheses come back complete and in dataset order on every process,
+    while each rank decodes only its round-robin share of the batches
+    (prediction._eval_shard_info) and the merged result is all-gathered —
+    the reference's DistributedSubsetSampler + ddp_merge semantics. This
+    test pins both: a 2-process predict() equals the single-process result
+    rank for rank, and each rank runs search() on ~half the batches."""
     import json
     import socket
 
@@ -223,16 +228,22 @@ def test_two_process_predict_order_matches_single_process(tmp_path):
         for p in procs:
             out, _ = p.communicate(timeout=300)
             outs.append(out.decode())
-        hyps = []
+        hyps, n_decoded = [], []
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
             line = [ln for ln in out.splitlines() if ln.startswith("HYPS ")][0]
             hyps.append(json.loads(line[5:]))
-        return hyps
+            nline = [ln for ln in out.splitlines()
+                     if ln.startswith("NSEARCH ")][0]
+            n_decoded.append(int(nline.split()[1]))
+        return hyps, n_decoded
 
-    single = run_predict(1)[0]
-    double = run_predict(2)
+    (single,), (n_single,) = run_predict(1)
+    double, n_double = run_predict(2)
     assert len(single) == 12
-    # every rank yields the full set, in dataset order, equal to 1-process
+    assert n_single == 3  # 12 examples at batch_size 5 -> 3 batches
+    # each rank decodes only its round-robin share of the batches...
+    assert sorted(n_double) == [1, 2], n_double
+    # ...and still yields the full set, in dataset order, equal to 1-process
     assert double[0] == single
     assert double[1] == single
