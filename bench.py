@@ -96,14 +96,25 @@ def _bench_train_step(model, spec, params, batch_size=128, n_frames=1000,
                 {"params": p}, src + dummy, trg_input, src_length, None,
                 trg_mask, deterministic=True)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
             total, _, _ = loss_fn(lp, trg=trg_out, trg_length=trg_length,
-                                  src_mask=out_mask, ctc_log_probs=ctc_lp)
+                                  src_mask=out_mask, ctc_logits=ctc_logits)
             return total / batch_size
 
         l, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
+
+    # THE pinned MFU formula (resolves the r2 24%-vs-32% doc conflict; see
+    # docs/benchmarks_s2t.md "Training efficiency"): 6N FLOPs/token fwd+bwd,
+    # attributing each stack's params to its own tokens — encoder params to
+    # post-subsample frames (T/4), decoder+embedding params to target tokens.
+    # Charging all params to all tokens would overcount ~2x for an
+    # encoder-decoder model. Attention scores, conv subsampler and CTC are
+    # excluded (lower bound). v5e bf16 peak = 197 TFLOP/s.
+    n_enc = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params["encoder"]))
+    n_all = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    model_flops = 6.0 * batch_size * (n_enc * (n_frames // 4)
+                                      + (n_all - n_enc) * (trg_len - 1))
 
     p, o, l = train_step(params, opt_state, jnp.float32(0))
     np.asarray(l)  # force completion (remote backend)
@@ -115,7 +126,8 @@ def _bench_train_step(model, spec, params, batch_size=128, n_frames=1000,
     audio_sec = batch_size * 10.0
     return {"train_audio_sec_per_sec_per_chip": round(audio_sec / elapsed, 1),
             "train_step_ms": round(elapsed * 1e3, 1),
-            "train_batch_size": batch_size}
+            "train_batch_size": batch_size,
+            "est_mfu_pct": round(100.0 * model_flops / elapsed / 197e12, 1)}
 
 
 def main():

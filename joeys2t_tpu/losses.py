@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from joeys2t_tpu.ops.ctc import ctc_loss_sum
+from joeys2t_tpu.ops.ctc import ctc_loss_sum, ctc_loss_sum_from_logits
 
 
 def smoothed_xent_loss(
@@ -86,18 +86,29 @@ class XentCTCLoss(XentLoss):
         trg_length: Optional[jnp.ndarray] = None,
         src_mask: Optional[jnp.ndarray] = None,
         ctc_log_probs: Optional[jnp.ndarray] = None,
+        ctc_logits: Optional[jnp.ndarray] = None,
         **kwargs,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Pass RAW ``ctc_logits`` on the training hot path: the CTC op then
+        skips the (B, T, V) f32 log-softmax materialization and runs the
+        emission gather as a one-hot MXU matmul (ops/ctc.py
+        ctc_loss_from_logits). ``ctc_log_probs`` remains for callers that
+        already hold log-softmax outputs."""
         assert trg_length is not None and src_mask is not None
-        assert ctc_log_probs is not None
+        assert (ctc_log_probs is not None) or (ctc_logits is not None)
 
         xent_loss = smoothed_xent_loss(log_probs, trg, self.pad_index, self.smoothing)
 
         # input lengths = (subsampled) src_mask row sums (joeynmt/loss.py:159)
         input_lengths = jnp.sum(src_mask[:, 0, :].astype(jnp.int32), axis=1)
-        ctc = ctc_loss_sum(
-            ctc_log_probs, trg, input_lengths, trg_length,
-            blank_id=self.bos_index, zero_infinity=self.zero_infinity)
+        if ctc_logits is not None:
+            ctc = ctc_loss_sum_from_logits(
+                ctc_logits, trg, input_lengths, trg_length,
+                blank_id=self.bos_index, zero_infinity=self.zero_infinity)
+        else:
+            ctc = ctc_loss_sum(
+                ctc_log_probs, trg, input_lengths, trg_length,
+                blank_id=self.bos_index, zero_infinity=self.zero_infinity)
 
         total = (1.0 - self.ctc_weight) * xent_loss + self.ctc_weight * ctc
         return total, xent_loss, ctc

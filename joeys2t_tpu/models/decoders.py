@@ -204,10 +204,12 @@ class TransformerDecoder(nn.Module):
         trg_prompt_embed_t: Optional[jnp.ndarray] = None,
         return_attention: bool = False,
         beam_k: int = 1,
+        ancestry: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
         """One decode step. Returns (logits (B, 1, V), new_cache, cross_att).
 
-        ``beam_k``: see Seq2SeqModel.decode_step (beam-shared cross caches)."""
+        ``beam_k``: see Seq2SeqModel.decode_step (beam-shared cross caches).
+        ``ancestry``: lazy beam-reorder map (modules.step_self_ancestry)."""
         size = trg_embed_t.shape[2]
         max_len = cache["layer_0"]["self_k"].shape[2]  # (B, H, S_max, Dh)
         pe = sinusoidal_pe(max_len, size).astype(trg_embed_t.dtype)
@@ -224,7 +226,7 @@ class TransformerDecoder(nn.Module):
             x, layer_cache, layer_att = layer.decode_step(
                 x, cache[f"layer_{i}"], index, src_mask,
                 return_attention=(return_attention and i == last),
-                beam_k=beam_k)
+                beam_k=beam_k, ancestry=ancestry)
             new_cache[f"layer_{i}"] = layer_cache
             if layer_att is not None:
                 att = layer_att

@@ -167,6 +167,7 @@ class Seq2SeqModel(nn.Module):
         trg_prompt_mask_t: Optional[jnp.ndarray] = None,  # (B, 1) int32 0/1
         return_attention: bool = False,
         beam_k: int = 1,
+        ancestry: Optional[jnp.ndarray] = None,
     ):
         """One KV-cached decode step -> (logits (B, 1, V), new_cache, att).
 
@@ -181,7 +182,8 @@ class Seq2SeqModel(nn.Module):
         logits, cache, att = self.decoder.decode_step(
             trg_embed_t, index, cache, src_mask,
             trg_prompt_embed_t=trg_prompt_embed_t,
-            return_attention=return_attention, beam_k=beam_k)
+            return_attention=return_attention, beam_k=beam_k,
+            ancestry=ancestry)
         return self._output_logits(logits), cache, att
 
 

@@ -302,6 +302,71 @@ class MultiHeadedAttention(nn.Module):
                                          scale_layout="position")
         return out, cache_k, cache_v, k_scale, v_scale
 
+    def step_self_ancestry(
+        self,
+        q: jnp.ndarray,  # (B*K, 1, size)
+        cache_k: jnp.ndarray,  # (B*K, H, S_max, Dh) bf16/f32
+        cache_v: jnp.ndarray,
+        index: jnp.ndarray,  # scalar int32 current position
+        ancestry: jnp.ndarray,  # (B, K, S_max) int32 parent rows in [0, K)
+    ):
+        """Beam self-attention WITHOUT the physical per-step cache reorder.
+
+        The classic formulation permutes the (B*K, H, S, D) ring buffers by
+        the selected parent rows every step — measured at 38% of beam wall
+        time (docs/benchmarks_s2t.md), and it is a pure HBM copy: read+write
+        of both buffers on top of the attention's own read. Here rows stay
+        where they were written and a (B, K, S) ancestry map says which
+        physical row holds each position of each beam's history. Scores are
+        computed against ALL K stored rows — the matvec is HBM-bound on the
+        cache read, so the K x extra MXU flops are free — and the ancestry
+        select happens on the tiny (B, K, K, H, S) score tensor:
+
+          S_all[b,k,j,h,s] = q[b,k,h,:] . K[b,j,h,s,:]
+          scores[b,k,h,s]  = S_all[b,k,anc[b,k,s],h,s]      (one-hot sum)
+          ctx[b,k,h,:]     = sum_s p[b,k,h,s] V[b,anc[b,k,s],h,s,:]
+
+        Per step this reads the caches once (no write-back), vs read + full
+        read/write for the physical reorder — 3x less self-cache traffic.
+        Exact same math as reorder-then-attend. Returns (out, new_k, new_v);
+        the caller updates the ancestry map after top-k selection.
+        """
+        bk, h_heads, s_max, dh = cache_k.shape
+        kb = ancestry.shape[1]
+        b = bk // kb
+        assert cache_k.dtype != jnp.int8, \
+            "ancestry beam path supports bf16/f32 self caches"
+
+        k_h, v_h = self.project_kv(q)  # (B*K, 1, H, Dh)
+        k_h = jnp.swapaxes(k_h, 1, 2)
+        v_h = jnp.swapaxes(v_h, 1, 2)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_h.astype(cache_k.dtype), (0, 0, index, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_h.astype(cache_v.dtype), (0, 0, index, 0))
+
+        q_h = self._split_heads(self.q_layer(q))  # (B*K, 1, H, Dh)
+        qk = (q_h[:, 0].reshape(b, kb, self.num_heads, self.head_size)
+              / math.sqrt(self.head_size))
+        ck = cache_k.reshape(b, kb, self.num_heads, s_max, dh)
+        cv = cache_v.reshape(b, kb, self.num_heads, s_max, dh)
+
+        s_all = jnp.einsum("bkhd,bjhsd->bkjhs", qk.astype(self.dtype), ck,
+                           preferred_element_type=jnp.float32)
+        onehot = (ancestry[:, :, None, :]
+                  == jnp.arange(kb, dtype=ancestry.dtype)[None, None, :, None]
+                  )  # (B, K, J, S)
+        scores = jnp.sum(s_all * onehot[:, :, :, None, :], axis=2)  # (B,K,H,S)
+        valid = jnp.arange(s_max) <= index
+        scores = jnp.where(valid[None, None, None, :], scores, NEG_INF)
+        p = jax.nn.softmax(scores, axis=-1)  # (B, K, H, S) f32
+        p_masked = (p[:, :, None, :, :] * onehot[:, :, :, None, :]
+                    ).astype(self.dtype)  # (B, K, J, H, S)
+        ctx = jnp.einsum("bkjhs,bjhsd->bkhd", p_masked, cv)
+        out = self.output_layer(
+            ctx.reshape(bk, 1, self.size).astype(self.dtype))
+        return out, cache_k, cache_v
+
     def step_cross(
         self,
         q: jnp.ndarray,  # (B*K, 1, size)
@@ -607,18 +672,27 @@ class TransformerDecoderLayer(nn.Module):
         src_mask: Optional[jnp.ndarray],
         return_attention: bool = False,
         beam_k: int = 1,
+        ancestry: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, dict, Optional[jnp.ndarray]]:
         """Single decode step with cached self/cross K/V.
 
         ``beam_k > 1``: x and the self caches carry B*K rows while the
-        cross caches/src_mask stay at B (beam-shared cross attention)."""
+        cross caches/src_mask stay at B (beam-shared cross attention).
+        ``ancestry`` ((B, K, S) parent-row map): self-attention resolves
+        beam reordering lazily instead of the caller physically permuting
+        the ring buffers (step_self_ancestry)."""
         residual = x
         if self.layer_norm_position == "pre":
             x = self.x_layer_norm(x).astype(self.dtype)
-        h1, new_k, new_v, new_ks, new_vs = self.trg_trg_att.step_self(
-            x, cache["self_k"], cache["self_v"], index,
-            k_scale=cache.get("self_k_scale"),
-            v_scale=cache.get("self_v_scale"))
+        if ancestry is not None:
+            h1, new_k, new_v = self.trg_trg_att.step_self_ancestry(
+                x, cache["self_k"], cache["self_v"], index, ancestry)
+            new_ks = new_vs = None
+        else:
+            h1, new_k, new_v, new_ks, new_vs = self.trg_trg_att.step_self(
+                x, cache["self_k"], cache["self_v"], index,
+                k_scale=cache.get("self_k_scale"),
+                v_scale=cache.get("self_v_scale"))
         cache = {**cache, "self_k": new_k, "self_v": new_v}
         if new_ks is not None:
             cache.update(self_k_scale=new_ks, self_v_scale=new_vs)

@@ -155,10 +155,8 @@ def make_eval_loss_step(model, loss_fn):
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         kwargs = dict(trg=trg)
         if loss_fn.require_ctc_layer and ctc_logits is not None:
-            kwargs.update(
-                trg_length=trg_length, src_mask=out_src_mask,
-                ctc_log_probs=jax.nn.log_softmax(
-                    ctc_logits.astype(jnp.float32), axis=-1))
+            kwargs.update(trg_length=trg_length, src_mask=out_src_mask,
+                          ctc_logits=ctc_logits)
         losses = loss_fn(log_probs, **kwargs)
         total = losses[0]
         nll = losses[1] if len(losses) > 1 else total

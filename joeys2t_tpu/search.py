@@ -377,7 +377,8 @@ def greedy(params, model, spec, encoder_output, encoder_hidden, src_mask,
 @partial(jax.jit, static_argnames=(
     "model", "spec", "beam_size", "max_output_length", "alpha", "n_best",
     "min_output_length", "generate_unk", "repetition_penalty",
-    "no_repeat_ngram_size", "has_prompt", "has_encoder_input"))
+    "no_repeat_ngram_size", "has_prompt", "has_encoder_input",
+    "lazy_reorder"))
 def _beam_search_jit(
     params,
     model: Seq2SeqModel,
@@ -397,9 +398,15 @@ def _beam_search_jit(
     trg_prompt_mask: Optional[jnp.ndarray] = None,
     has_prompt: bool = False,
     has_encoder_input: bool = False,
+    lazy_reorder: bool = False,
 ):
     """Fixed-shape beam search. Returns (fin_seqs (B, K, L+1), fin_scores
-    (B, K)) sorted by score desc; host selects n_best."""
+    (B, K)) sorted by score desc; host selects n_best.
+
+    ``lazy_reorder``: self-attention resolves beam selection through a
+    (B, K, S) ancestry map (modules.step_self_ancestry) instead of
+    physically permuting the self K/V ring buffers every step — the
+    permute is a pure HBM copy measured at 38% of beam wall time."""
     b, s, h = encoder_output.shape
     k = beam_size
     v = spec.trg_vocab_size
@@ -441,6 +448,11 @@ def _beam_search_jit(
 
     fin_scores = jnp.full((b, k), NEG_INF)
     fin_seqs = jnp.full((b, k, l1), spec.pad_index, jnp.int32)
+    # ancestry invariant: slots > step hold their own row index (each row
+    # writes its next token into its own slot before selection)
+    ancestry = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, l1)) \
+        if lazy_reorder else None
 
     def cond(state):
         step = state[0]
@@ -448,8 +460,13 @@ def _beam_search_jit(
         return (step < max_output_length) & ~jnp.all(done)
 
     def body(state):
-        (step, alive_seq, topk_log_probs, cache, fin_scores, fin_seqs, done,
-         is_finished) = state
+        if lazy_reorder:
+            (step, alive_seq, topk_log_probs, cache, fin_scores, fin_seqs,
+             done, is_finished, ancestry) = state
+        else:
+            (step, alive_seq, topk_log_probs, cache, fin_scores, fin_seqs,
+             done, is_finished) = state
+            ancestry = None
 
         prev = jax.lax.dynamic_slice(alive_seq, (0, step), (bk, 1))
         prompt_t = None
@@ -457,7 +474,8 @@ def _beam_search_jit(
             prompt_t = jax.lax.dynamic_slice(pm, (0, step), (bk, 1))
         logits, new_cache, _ = model.apply(
             {"params": params}, prev, step, cache, msk,
-            trg_prompt_mask_t=prompt_t, beam_k=k, method="decode_step")
+            trg_prompt_mask_t=prompt_t, beam_k=k, ancestry=ancestry,
+            method="decode_step")
         log_probs = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
 
         if no_repeat_ngram_size > 0:
@@ -519,17 +537,32 @@ def _beam_search_jit(
         alive_seq = jax.lax.dynamic_update_slice(
             alive_seq, topk_token.reshape(-1, 1), (0, step + 1))
         topk_log_probs = new_topk_log_probs
-        # only the self-attention ring buffers need reordering: cross K/V
-        # (and their int8 scales, when present) are tiled identically across
-        # a batch element's beams and never written, and `select` permutes
-        # only within beam groups — skip gathering them
-        cache = {
-            layer: {
-                key: (value[select] if key.startswith("self_") else value)
-                for key, value in entries.items()
+        if lazy_reorder:
+            # no physical cache permute: compose the ancestry map instead.
+            # New beam k's history row at every s <= step is whatever its
+            # parent's map said (the map's s == step entry already points at
+            # the row that just wrote this step's K/V); future slots reset
+            # to own-row so the next write attends to itself.
+            anc_sel = jnp.take_along_axis(ancestry, topk_beam_index[:, :, None],
+                                          axis=1)  # (B, K, S)
+            s_grid = jnp.arange(l1)[None, None, :]
+            ancestry = jnp.where(
+                s_grid > step, jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                anc_sel)
+            cache = new_cache
+        else:
+            # only the self-attention ring buffers need reordering: cross
+            # K/V (and their int8 scales, when present) are tiled
+            # identically across a batch element's beams and never written,
+            # and `select` permutes only within beam groups — skip
+            # gathering them
+            cache = {
+                layer: {
+                    key: (value[select] if key.startswith("self_") else value)
+                    for key, value in entries.items()
+                }
+                for layer, entries in new_cache.items()
             }
-            for layer, entries in new_cache.items()
-        }
 
         # finished bookkeeping (joeynmt/search.py:671-717); updates of
         # already-`done` examples are masked at collection time, so no state
@@ -558,11 +591,14 @@ def _beam_search_jit(
                        | (topk_scores < NEG_INF / 10.0) | at_max)
         done = done | jnp.all(is_finished, axis=1)
 
-        return (step + 1, alive_seq, topk_log_probs, cache, fin_scores, fin_seqs,
-                done, is_finished)
+        out_state = (step + 1, alive_seq, topk_log_probs, cache, fin_scores,
+                     fin_seqs, done, is_finished)
+        return out_state + (ancestry,) if lazy_reorder else out_state
 
     init = (jnp.int32(0), alive_seq, topk_log_probs, cache, fin_scores, fin_seqs,
             done, is_finished)
+    if lazy_reorder:
+        init = init + (ancestry,)
     state = jax.lax.while_loop(cond, body, init)
     fin_scores, fin_seqs = state[4], state[5]
     return fin_seqs, fin_scores
@@ -681,6 +717,16 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
     encoder_input = kwargs.get("encoder_input", None)
     has_prompt = decoder_prompt is not None and trg_prompt_mask is not None
 
+    # beam-reorder strategy: "lazy" = ancestry-indexed self attention (no
+    # physical cache permute; modules.step_self_ancestry), "physical" =
+    # classic cache[select]. Override via JOEYS2T_BEAM_REORDER. int8 self
+    # caches always use the physical path (ancestry supports bf16/f32).
+    import os
+    mode = os.environ.get("JOEYS2T_BEAM_REORDER", "auto")
+    lazy_reorder = (mode == "lazy" or mode == "auto") \
+        and not getattr(model.decoder, "cache_self_int8", False) \
+        and not isinstance(model.decoder, RecurrentDecoder)
+
     fin_seqs, fin_scores = _beam_search_jit(
         params, model, spec, jnp.asarray(encoder_output), jnp.asarray(src_mask),
         int(beam_size), int(max_output_length), float(alpha), int(n_best),
@@ -694,6 +740,7 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
                          else jnp.asarray(trg_prompt_mask)),
         has_prompt=has_prompt,
         has_encoder_input=encoder_input is not None,
+        lazy_reorder=lazy_reorder,
     )
     fin_seqs = np.asarray(fin_seqs)
     fin_scores = np.asarray(fin_scores)

@@ -193,9 +193,10 @@ class TrainManager:
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         kwargs = dict(trg=batch["trg"])
         if loss_fn.require_ctc_layer and ctc_logits is not None:
+            # raw logits: the CTC op fuses gather+logsumexp itself (MXU
+            # one-hot matmul; no (B, T, V) f32 log-softmax materialization)
             kwargs.update(trg_length=batch["trg_length"], src_mask=out_mask,
-                          ctc_log_probs=jax.nn.log_softmax(
-                              ctc_logits.astype(jnp.float32), axis=-1))
+                          ctc_logits=ctc_logits)
         losses = loss_fn(log_probs, **kwargs)
         total = losses[0]
         nll = losses[1] if len(losses) > 1 else total

@@ -219,9 +219,8 @@ def bench_train_step(batch=16, seq=1000, trg_len=48):
                 {"params": p}, src, trg_input, src_length, None, trg_mask,
                 deterministic=True)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
             total, _, _ = loss_fn(lp, trg=trg, trg_length=trg_length,
-                                  src_mask=out_mask, ctc_log_probs=ctc_lp)
+                                  src_mask=out_mask, ctc_logits=ctc_logits)
             return total / batch
 
         l, grads = jax.value_and_grad(loss)(params)

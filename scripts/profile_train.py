@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+# coding: utf-8
+"""Device-profile decomposition of the flagship train step (VERDICT r3 #1).
+
+Runs the B=128 jitted train step (same shapes as bench.py) under
+jax.profiler.trace — which works through the axon tunnel — then parses the
+trace.json.gz, keeps the /device:TPU plane, and prints:
+  - total device-busy time per step
+  - top-N individual fusions by duration
+  - a category rollup (matmul / flash-attn / conv / ctc-scan / copies /
+    elementwise-fusions / optimizer)
+One JSON line per section.
+"""
+import argparse
+import glob
+import gzip
+import json
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_step(batch=128, n_frames=1000, trg_len=48):
+    import optax
+
+    from __graft_entry__ import _build
+    from joeys2t_tpu.losses import XentCTCLoss
+    from functools import partial
+
+    model, spec = _build()
+    rng = np.random.RandomState(2)
+    src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
+    src_length = jnp.full((batch,), n_frames, jnp.int32)
+    trg = jnp.asarray(rng.randint(4, 1000, size=(batch, trg_len)).astype(np.int32))
+    trg_input, trg_out = trg[:, :-1], trg[:, 1:]
+    trg_mask = jnp.ones((batch, 1, trg_len - 1), bool)
+    trg_length = jnp.full((batch,), trg_len - 1, jnp.int32)
+    loss_fn = XentCTCLoss(pad_index=spec.pad_index, bos_index=spec.bos_index,
+                          smoothing=0.1, ctc_weight=0.3)
+    tx = optax.adamw(1e-4)
+    init_src = jnp.asarray(rng.randn(2, 16, 80).astype(np.float32))
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0)}, init_src, jnp.ones((2, 8), jnp.int32),
+        jnp.full((2,), 16, jnp.int32), None, jnp.ones((2, 1, 8), bool),
+        deterministic=True)["params"]
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, dummy):
+        def loss(p):
+            logits, ctc_logits, out_mask = model.apply(
+                {"params": p}, src + dummy, trg_input, src_length, None,
+                trg_mask, deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            total, _, _ = loss_fn(lp, trg=trg_out, trg_length=trg_length,
+                                  src_mask=out_mask, ctc_logits=ctc_logits)
+            return total / batch
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _o
+        return _o.apply_updates(params, updates), opt_state, l
+
+    return train_step, params, opt_state
+
+
+CATEGORIES = [
+    ("ctc", ("while", "scan", "ctc")),       # the CTC DP scan lowers to while
+    ("flash_attn", ("custom-call", "tpu_custom_call", "flash", "pallas")),
+    ("conv", ("conv",)),
+    ("matmul", ("dot", "gemm", "einsum")),
+    ("copy", ("copy", "transpose", "bitcast")),
+    ("reduce", ("reduce", "softmax", "logsumexp")),
+]
+
+
+def categorize(name: str) -> str:
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(k in low for k in keys):
+            return cat
+    if "fusion" in low:
+        return "fusion_elementwise"
+    return "other"
+
+
+def parse_trace(trace_dir: Path, top_n: int = 25):
+    paths = sorted(glob.glob(str(trace_dir / "**" / "*.trace.json.gz"),
+                             recursive=True), key=lambda p: Path(p).stat().st_mtime)
+    assert paths, f"no trace under {trace_dir}"
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # find TPU device pids
+    tpu_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    durs = defaultdict(float)
+    counts = defaultdict(int)
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            durs[e["name"]] += e.get("dur", 0) / 1e3  # us -> ms
+            counts[e["name"]] += 1
+    total = sum(durs.values())
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]
+    cats = defaultdict(float)
+    for name, d in durs.items():
+        cats[categorize(name)] += d
+    return total, top, dict(cats), counts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/train_profile")
+    args = ap.parse_args()
+
+    step, params, opt_state = build_step(batch=args.batch)
+    p, o, l = step(params, opt_state, jnp.float32(0))
+    np.asarray(l)  # compile + settle
+
+    t0 = time.perf_counter()
+    with jax.profiler.trace(args.out):
+        for i in range(args.steps):
+            p, o, l = step(p, o, jnp.float32(i) * 1e-9)
+        np.asarray(l)
+    wall = (time.perf_counter() - t0) / args.steps
+
+    total, top, cats, counts = parse_trace(Path(args.out))
+    per_step = total / args.steps
+    print(json.dumps({"bench": "train_profile", "batch": args.batch,
+                      "wall_ms_per_step": round(wall * 1e3, 1),
+                      "device_busy_ms_per_step": round(per_step, 1)}))
+    print(json.dumps({"categories_ms_per_step":
+                      {k: round(v / args.steps, 1)
+                       for k, v in sorted(cats.items(), key=lambda kv: -kv[1])}}))
+    for name, d in top:
+        print(json.dumps({"op": name[:110], "ms_per_step": round(d / args.steps, 2),
+                          "calls": counts[name] // args.steps}))
+
+
+if __name__ == "__main__":
+    main()

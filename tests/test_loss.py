@@ -2,6 +2,7 @@
 """Loss golden tests against torch (CPU) — mirrors test/unit/test_loss.py but
 with cross-framework golden values: torch.nn.NLLLoss / KLDivLoss /
 nn.CTCLoss are the oracle for our JAX implementations."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -154,3 +155,68 @@ class TestCTCGradients:
         got = np.asarray(ctc_loss(jax.nn.log_softmax(logits, -1), targets,
                                   input_lengths, target_lengths, blank_id=BOS))
         np.testing.assert_allclose(got[:2], want[:2], rtol=1e-4, atol=1e-4)
+
+
+class TestCTCFromLogits:
+    """ctc_loss_from_logits (the training hot path: one-hot MXU emission
+    gather + folded logsumexp, no (B,T,V) f32 log-softmax materialization)
+    must equal the log-probs path bit-for-bit in f32 and to round-off on
+    bf16 logits."""
+
+    def _case(self, seed=0, b=3, t=17, v=29, l=6):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(b, t, v).astype(np.float32) * 2.0
+        targets = rng.randint(4, v, size=(b, l)).astype(np.int32)
+        in_len = np.array([17, 15, 9], np.int32)
+        tg_len = np.array([6, 4, 0], np.int32)
+        return logits, targets, in_len, tg_len
+
+    def test_f32_exact(self):
+        from joeys2t_tpu.ops.ctc import ctc_loss_from_logits
+
+        logits, targets, in_len, tg_len = self._case()
+        ref = ctc_loss(jax.nn.log_softmax(jnp.asarray(logits), -1),
+                       jnp.asarray(targets), jnp.asarray(in_len),
+                       jnp.asarray(tg_len), blank_id=2)
+        got = ctc_loss_from_logits(jnp.asarray(logits), jnp.asarray(targets),
+                                   jnp.asarray(in_len), jnp.asarray(tg_len),
+                                   blank_id=2)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_bf16_one_hot_matmul_path(self):
+        from joeys2t_tpu.ops.ctc import ctc_loss_from_logits
+
+        logits, targets, in_len, tg_len = self._case(seed=1)
+        lb = jnp.asarray(logits).astype(jnp.bfloat16)
+        # oracle: cast the SAME bf16 values to f32 and run the classic path
+        ref = ctc_loss(jax.nn.log_softmax(lb.astype(jnp.float32), -1),
+                       jnp.asarray(targets), jnp.asarray(in_len),
+                       jnp.asarray(tg_len), blank_id=2)
+        got = ctc_loss_from_logits(lb, jnp.asarray(targets),
+                                   jnp.asarray(in_len), jnp.asarray(tg_len),
+                                   blank_id=2)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_gradients_match(self):
+        from joeys2t_tpu.ops.ctc import (ctc_loss_from_logits,
+                                         ctc_loss_sum_from_logits)
+
+        logits, targets, in_len, tg_len = self._case(seed=2)
+        del ctc_loss_from_logits
+
+        def via_log_probs(x):
+            return ctc_loss_sum(jax.nn.log_softmax(x, -1),
+                                jnp.asarray(targets), jnp.asarray(in_len),
+                                jnp.asarray(tg_len), blank_id=2)
+
+        def via_logits(x):
+            return ctc_loss_sum_from_logits(x, jnp.asarray(targets),
+                                            jnp.asarray(in_len),
+                                            jnp.asarray(tg_len), blank_id=2)
+
+        g_ref = jax.grad(via_log_probs)(jnp.asarray(logits))
+        g_new = jax.grad(via_logits)(jnp.asarray(logits))
+        np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_new),
+                                   rtol=1e-5, atol=1e-5)

@@ -302,3 +302,43 @@ class TestInt8CrossCache:
         assert out_q.shape == out_fp.shape
         np.testing.assert_allclose(np.sort(sc_fp.ravel()),
                                    np.sort(sc_q.ravel()), atol=7e-3)
+
+
+class TestLazyBeamReorder:
+    """The ancestry-indexed beam path (modules.step_self_ancestry, default
+    `auto`) must be bit-identical to the classic physical cache permute —
+    same hypotheses AND same scores, including n-best and prompts."""
+
+    def _run(self, mt_model, mode, **kw):
+        import os
+
+        model, spec, params = mt_model
+        _, enc, src_mask = encode(mt_model)
+        prev = os.environ.get("JOEYS2T_BEAM_REORDER")
+        os.environ["JOEYS2T_BEAM_REORDER"] = mode
+        try:
+            return beam_search(params, model, spec, enc, None, src_mask,
+                               4, 16, alpha=1.0, n_best=3,
+                               return_prob="hyp", **kw)
+        finally:
+            if prev is None:
+                os.environ.pop("JOEYS2T_BEAM_REORDER", None)
+            else:
+                os.environ["JOEYS2T_BEAM_REORDER"] = prev
+
+    def test_identical_to_physical(self, mt_model):
+        out_l, sc_l, _ = self._run(mt_model, "lazy")
+        out_p, sc_p, _ = self._run(mt_model, "physical")
+        np.testing.assert_array_equal(out_l, out_p)
+        # scores agree to f32 reassociation (the ancestry path contracts the
+        # score einsum with an extra one-hot sum, reordering the adds)
+        np.testing.assert_allclose(sc_l, sc_p, rtol=0, atol=3e-5)
+
+    def test_identical_with_prompt(self, mt_model):
+        decoder_prompt = np.array([[2, 7, 8], [2, 10, 11]], np.int32)
+        mask = np.array([[1, 1, 1], [1, 1, 1]], np.int32)
+        kw = dict(decoder_prompt=decoder_prompt, trg_prompt_mask=mask)
+        out_l, sc_l, _ = self._run(mt_model, "lazy", **kw)
+        out_p, sc_p, _ = self._run(mt_model, "physical", **kw)
+        np.testing.assert_array_equal(out_l, out_p)
+        np.testing.assert_allclose(sc_l, sc_p, rtol=0, atol=3e-5)
