@@ -109,6 +109,22 @@ class TransformerEncoder(nn.Module):
         x = self.emb_dropout_layer(x, deterministic=deterministic)
         x = x.astype(self.dtype)
 
+        # Pad the sequence ONCE to a lane-aligned multiple of 128 so the
+        # per-layer flash-attention calls don't each re-pad K/V (those pads
+        # measured 5.75ms/step of the B=128 flagship train step, ~96 pad
+        # ops). Padded frames are masked keys — attention ignores them —
+        # and the position-wise garbage they accumulate is sliced off below.
+        # Audio path only (post-subsample S is large); MT sequences are
+        # short and MoE routing must not see padded tokens.
+        mask_out = mask
+        s_orig = x.shape[1]
+        pad_s = ((-s_orig) % 128
+                 if (self.subsample and s_orig > 128 and self.num_experts == 0)
+                 else 0)
+        if pad_s:
+            x = jnp.pad(x, ((0, 0), (0, pad_s), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_s)))
+
         for layer in self.layers:
             if self.sequence_parallel:
                 from joeys2t_tpu.parallel.mesh import sp_constraint
@@ -118,7 +134,9 @@ class TransformerEncoder(nn.Module):
             x = layer(x, mask, deterministic)
         if self.layer_norm_position == "pre":
             x = self.final_layer_norm(x).astype(self.dtype)
-        return x, None, mask
+        if pad_s:
+            x = x[:, :s_orig]
+        return x, None, mask_out
 
 
 class ConformerEncoder(nn.Module):

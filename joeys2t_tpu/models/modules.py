@@ -178,7 +178,8 @@ class MultiHeadedAttention(nn.Module):
             return False  # causal/full masks take the einsum path
         from joeys2t_tpu.ops.flash_attention import supported
 
-        if not supported(q_h.shape[1], k_h.shape[1], self.head_size, self.dtype):
+        if not supported(q_h.shape[1], k_h.shape[1], self.head_size,
+                         self.dtype, num_heads=self.num_heads):
             return False
         if self.attn_impl == "flash":
             return True
@@ -864,6 +865,41 @@ def subsequent_mask(size: int) -> jnp.ndarray:
     return jnp.tril(jnp.ones((1, size, size), dtype=bool))
 
 
+class _PatchConv1d(nn.Module):
+    """Stride-2 1-D convolution expressed as a patch-extraction + one MXU
+    matmul instead of ``lax.conv_general_dilated``.
+
+    XLA's conv lowering for these (B, T, C) stride-2 shapes fragments into
+    ~150 small convolution_add fusions per train step and measured 26ms of
+    the 167ms flagship step (~8x above the ~3.3ms matmul-equivalent
+    roofline). K strided slices + concat + a single
+    (B*T', K*Cin) x (K*Cin, Cout) dot keeps the FLOPs on the MXU in one
+    pass. Parameters are named/shaped identically to flax ``nn.Conv``
+    (kernel (K, Cin, Cout), bias (Cout,)) so checkpoints and torch
+    conversion are unaffected."""
+
+    features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, Cin)
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = k // 2
+        t_out = (x.shape[1] + 2 * pad - k) // 2 + 1
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0))).astype(self.dtype)
+        # tap j of the kernel sees input positions j, j+2, j+4, ...
+        taps = [jax.lax.slice_in_dim(xp, j, j + 2 * (t_out - 1) + 1, stride=2,
+                                     axis=1) for j in range(k)]
+        patches = jnp.concatenate(taps, axis=-1)  # (B, T', K*Cin)
+        w = kernel.astype(self.dtype).reshape(k * cin, self.features)
+        return patches @ w + bias.astype(self.dtype)
+
+
 class Conv1dSubsampler(nn.Module):
     """Stride-2 Conv1d stack with GLU non-linearity for audio subsampling
     (joeynmt/encoders.py:311-373; fairseq s2t_transformer).
@@ -884,11 +920,9 @@ class Conv1dSubsampler(nn.Module):
         for i, k in enumerate(self.kernel_sizes):
             out_ch = self.mid_channels if i < n - 1 else self.out_channels * 2
             convs.append(
-                nn.Conv(
+                _PatchConv1d(
                     features=out_ch,
-                    kernel_size=(k,),
-                    strides=(2,),
-                    padding=[(k // 2, k // 2)],
+                    kernel_size=k,
                     dtype=self.dtype,
                     name=f"conv_{i}",
                 ))

@@ -96,22 +96,31 @@ def categorize(name: str) -> str:
 
 
 def parse_trace(trace_dir: Path, top_n: int = 25):
+    """Sum leaf op durations on the TPU plane's "XLA Ops" lane only —
+    summing every event double-counts (the Steps / XLA Modules lanes
+    contain the ops)."""
+    import re
+
     paths = sorted(glob.glob(str(trace_dir / "**" / "*.trace.json.gz"),
                              recursive=True), key=lambda p: Path(p).stat().st_mtime)
     assert paths, f"no trace under {trace_dir}"
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # find TPU device pids
     tpu_pids = {e["pid"] for e in events
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_lanes = {(e["pid"], e["tid"]) for e in events
+                if e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["pid"] in tpu_pids
+                and e.get("args", {}).get("name") == "XLA Ops"}
     durs = defaultdict(float)
     counts = defaultdict(int)
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            durs[e["name"]] += e.get("dur", 0) / 1e3  # us -> ms
-            counts[e["name"]] += 1
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_lanes:
+            base = re.sub(r"[.\d]+$", "", e["name"])  # group fusion.123 etc.
+            durs[base] += e.get("dur", 0) / 1e3  # us -> ms
+            counts[base] += 1
     total = sum(durs.values())
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]
     cats = defaultdict(float)

@@ -10,20 +10,21 @@ from joeys2t_tpu.ops.flash_attention import flash_attention, mha_flash, supporte
 
 
 def einsum_attention(q, k, v, bias, sm_scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+    """Reference on the kernel's native (B, S, H, D) layout."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * sm_scale
     s = s + bias[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
 @pytest.fixture
 def qkv():
     rng = np.random.RandomState(0)
-    b, h, s, d = 2, 2, 256, 64
-    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
-    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
-    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    b, s, h, d = 2, 256, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
     valid = np.ones((b, s), bool)
     valid[1, 200:] = False  # padding on example 2
     bias = jnp.asarray(np.where(valid, 0.0, -1e9).astype(np.float32))
@@ -42,23 +43,23 @@ class TestForward:
     def test_unaligned_q_length(self, qkv):
         """Query length not a multiple of BLOCK_Q gets padded internally."""
         q, k, v, bias = qkv
-        q = q[:, :, :200]
+        q = q[:, :200]
         sm = 1.0 / np.sqrt(q.shape[-1])
         ref = einsum_attention(q, k, v, bias, sm)
         out = flash_attention(q, k, v, bias, sm)
-        assert out.shape == (2, 2, 200, 64)
+        assert out.shape == (2, 200, 2, 64)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
     def test_mha_adapter_layout(self, qkv):
+        """mha_flash is now a pass-through (native layout, no transposes) —
+        masking via key_valid must equal masking via the bias."""
         q, k, v, bias = qkv
         valid = bias > -1.0
         sm = 1.0 / np.sqrt(q.shape[-1])
-        out = mha_flash(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                        jnp.swapaxes(v, 1, 2), valid, sm)
+        out = mha_flash(q, k, v, valid, sm)
         ref = einsum_attention(q, k, v, bias, sm)
-        np.testing.assert_allclose(np.asarray(out),
-                                   np.asarray(jnp.swapaxes(ref, 1, 2)),
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
 
@@ -88,8 +89,8 @@ class TestBackward:
             return jnp.sum(flash_attention(q, k, v, bias, sm) ** 2)
 
         dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
-        np.testing.assert_allclose(np.asarray(dk[1, :, 200:]), 0.0, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(dv[1, :, 200:]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dk[1, 200:]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dv[1, 200:]), 0.0, atol=1e-5)
 
 
 class TestSupported:
@@ -121,7 +122,7 @@ class TestDropout:
         g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         assert all(bool(jnp.isfinite(x).all()) for x in g)
         eps = 1e-2
-        i = (0, 0, 3, 5)
+        i = (0, 3, 1, 5)  # (b, s, h, d) in the native layout
         fd = (loss(q.at[i].add(eps), k, v) - loss(q.at[i].add(-eps), k, v)) / (2 * eps)
         assert abs(float(fd) - float(g[0][i])) < 5e-2
 
@@ -194,3 +195,51 @@ class TestShardedFlash:
         np.testing.assert_allclose(np.asarray(outs["flash"]),
                                    np.asarray(outs["xla"]),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestLongSequenceDispatch:
+    """S > LONG_S dispatches to the (B, H, S, D) kernel pair (transpose once
+    outside) — forward and gradients must match the einsum reference."""
+
+    def _inputs(self, s=640):
+        rng = np.random.RandomState(3)
+        b, h, d = 2, 2, 64
+        q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        valid = np.ones((b, s), bool)
+        valid[1, 500:] = False
+        bias = jnp.asarray(np.where(valid, 0.0, -1e9).astype(np.float32))
+        return q, k, v, bias
+
+    def test_forward_and_grads(self):
+        from joeys2t_tpu.ops.flash_attention import LONG_S
+
+        q, k, v, bias = self._inputs()
+        assert q.shape[1] > LONG_S
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        ref = einsum_attention(q, k, v, bias, sm)
+        out = flash_attention(q, k, v, bias, sm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, sm) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(einsum_attention(q, k, v, bias, sm) ** 2)
+
+        g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_f, g_r, "qkv"):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+
+    def test_unaligned_long_q(self):
+        q, k, v, bias = self._inputs(s=600)  # pads to 640 inside
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        ref = einsum_attention(q, k, v, bias, sm)
+        out = flash_attention(q, k, v, bias, sm)
+        assert out.shape == q.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
