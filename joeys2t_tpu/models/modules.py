@@ -136,13 +136,17 @@ class MultiHeadedAttention(nn.Module):
 
         :param mask: bool, (B, 1, Tk) key mask or (B, Tq, Tk) full mask
         """
-        k_h, v_h = self.project_kv(k)
-        q_h = self._split_heads(self.q_layer(q))
-
-        if self._use_flash(q_h, k_h, mask, deterministic, return_weights):
-            from joeys2t_tpu.ops.flash_attention import (mha_flash,
+        if self._use_flash(q, k, mask, deterministic, return_weights):
+            # FLAT path: the kernel takes the Dense outputs (B, T, E)
+            # directly — heads are 128-aligned column bands sliced inside
+            # VMEM, so no head-split reshape (and no tile-change copy)
+            # appears in the graph (r3 profile: ~0.1ms x 3 operands x layer)
+            from joeys2t_tpu.ops.flash_attention import (mha_flash_flat,
                                                          mha_flash_sharded)
 
+            q_f = self.q_layer(q)
+            k_f = self.k_layer(k)
+            v_f = self.v_layer(k)
             key_valid = None if mask is None else mask[:, 0, :]
             dropout_rate, seed = 0.0, None
             if not deterministic and self.dropout > 0:
@@ -158,27 +162,33 @@ class MultiHeadedAttention(nn.Module):
                 # documented override for calling attention inside a
                 # user-managed shard_map, where nesting another shard_map
                 # over the same mesh axes would fail at trace time.
-                context = mha_flash_sharded(q_h, k_h, v_h, key_valid, sm,
+                context = mha_flash_sharded(q_f, k_f, v_f, self.num_heads,
+                                            key_valid, sm,
                                             dropout_rate=dropout_rate,
                                             seed=seed)
             if context is None:
-                context = mha_flash(q_h, k_h, v_h, key_valid, sm,
-                                    dropout_rate=dropout_rate, seed=seed)
-            out = self.output_layer(self._merge_heads(context.astype(self.dtype)))
+                context = mha_flash_flat(q_f, k_f, v_f, self.num_heads,
+                                         key_valid, sm,
+                                         dropout_rate=dropout_rate, seed=seed)
+            out = self.output_layer(context.astype(self.dtype))
             return out, None
+
+        k_h, v_h = self.project_kv(k)
+        q_h = self._split_heads(self.q_layer(q))
 
         if mask is not None:
             mask = mask[:, None, :, :]  # add head dim -> (B, 1, 1|Tq, Tk)
         return self._attend(q_h, k_h, v_h, mask, deterministic, return_weights)
 
-    def _use_flash(self, q_h, k_h, mask, deterministic, return_weights) -> bool:
+    def _use_flash(self, q, k, mask, deterministic, return_weights) -> bool:
+        """q/k are the raw (B, T, size) inputs (pre-projection)."""
         if self.attn_impl == "xla" or return_weights:
             return False
         if mask is not None and not (mask.ndim == 3 and mask.shape[1] == 1):
             return False  # causal/full masks take the einsum path
         from joeys2t_tpu.ops.flash_attention import supported
 
-        if not supported(q_h.shape[1], k_h.shape[1], self.head_size,
+        if not supported(q.shape[1], k.shape[1], self.head_size,
                          self.dtype, num_heads=self.num_heads):
             return False
         if self.attn_impl == "flash":
@@ -200,7 +210,7 @@ class MultiHeadedAttention(nn.Module):
 
         ctx = get_default_mesh()
         return ctx is not None and _flash_shard_specs(
-            ctx.mesh, q_h.shape[0], q_h.shape[2]) is not None
+            ctx.mesh, q.shape[0], self.num_heads) is not None
 
     # ------------------------------------------------------------- decode ops
     def _use_decode_kernel(self) -> bool:

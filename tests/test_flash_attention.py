@@ -158,9 +158,16 @@ class TestShardedFlash:
         ctx = get_mesh(n_devices=4, model_parallel=2)  # data=2 x model=2
         set_default_mesh(ctx)
         try:
-            out = jax.jit(lambda *a: mha_flash_sharded(*a, sm))(q, k, v, valid)
+            b, s, h, d = q.shape
+
+            def run(qf, kf, vf, valid):
+                return mha_flash_sharded(qf, kf, vf, h, valid, sm)
+
+            out = jax.jit(run)(q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+                               v.reshape(b, s, h * d), valid)
             assert out is not None
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+            np.testing.assert_allclose(np.asarray(out).reshape(b, s, h, d),
+                                       np.asarray(ref),
                                        atol=2e-5, rtol=2e-5)
 
             # indivisible head count -> graceful None (caller falls back)
