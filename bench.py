@@ -31,6 +31,40 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _bench_int8_greedy(params, spec, src, src_length, max_output_length,
+                       n_iters=3):
+    """Greedy RTFx with int8 decode caches (serving knob, off by default).
+
+    Cross K/V quantized per-(head, channel), self ring buffers
+    per-position; scales folded into q/ctx so no dequantized copy is ever
+    materialized. Quality: tokens track the float cache on trained models
+    (tests/test_search.py TestInt8CrossCache); measured +28% RTFx at
+    B=1024 over the bf16 caches (docs/benchmarks_s2t.md)."""
+    from __graft_entry__ import _build
+    from joeys2t_tpu.search import transformer_greedy
+
+    model_q, _ = _build(cache_int8=True)
+    batch_size = src.shape[0]
+
+    @jax.jit
+    def encode(params, src, src_length):
+        return model_q.apply({"params": params}, src, src_length, None,
+                             method="encode")
+
+    enc_out, _, enc_mask = encode(params, src, src_length)
+    out, _, _ = transformer_greedy(params, model_q, spec, enc_out, enc_mask,
+                                   max_output_length)  # compile + warm
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        enc_out, _, enc_mask = encode(params, src, src_length)
+        out, _, _ = transformer_greedy(params, model_q, spec, enc_out,
+                                       enc_mask, max_output_length)
+    assert isinstance(out, np.ndarray)
+    elapsed = time.perf_counter() - start
+    rtfx = batch_size * 10.0 * n_iters / elapsed
+    return {"greedy_int8_cache_RTFx": round(rtfx, 2)}
+
+
 def _bench_beam_p50(model, spec, params, batch_size=32, n_frames=1000,
                     beam_size=5, max_output_length=96, iters=3):
     """Beam k=5 latency per utterance (BASELINE.json north star)."""
@@ -192,6 +226,11 @@ def main():
     except Exception as e:
         extra["train_error"] = str(e)[:200]
         degraded = True
+    try:
+        extra.update(_bench_int8_greedy(params, spec, src, src_length,
+                                        max_output_length))
+    except Exception as e:  # serving knob, not a north star: report only
+        extra["int8_error"] = str(e)[:200]
 
     result = {
         "metric": "asr_greedy_decode_RTFx",

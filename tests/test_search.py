@@ -274,6 +274,43 @@ class TestInt8CrossCache:
         assert np.abs(deq - ref).max() / (np.abs(ref).max() + 1e-9) < 0.01
 
 
+    def test_greedy_with_int8_self_cache(self, mt_model):
+        """cache_self_int8: the self ring buffers are stored int8 with
+        per-position scales (quantize_per_position at write, dequant folded
+        into the score/context einsums at read). Greedy tokens must track
+        the float cache; scores drift only by the ~0.4% quantization
+        perturbation."""
+        model, spec, params = mt_model
+        vocab = Vocabulary([f"t{i}" for i in range(VOCAB_SIZE - 4)],
+                           SpecialSymbols())
+        cfg8 = {
+            "cache_cross_int8": True,
+            "cache_self_int8": True,
+            "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+            "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+        }
+        model_q, _ = build_model(cfg8, src_vocab=vocab, trg_vocab=vocab)
+        assert model_q.decoder.cache_self_int8
+
+        src, enc, src_mask = encode(mt_model)
+        out_fp, sc_fp, _ = greedy(params, model, spec, enc, None, src_mask, 12,
+                                  return_prob="hyp")
+        out_q, sc_q, _ = greedy(params, model_q, spec, enc, None, src_mask, 12,
+                                return_prob="hyp")
+        np.testing.assert_array_equal(out_fp, out_q)
+        np.testing.assert_allclose(sc_fp, sc_q, atol=1e-2)
+
+        cache = model_q.apply({"params": params}, enc, 13, method="init_cache")
+        layer = cache["layer_0"]
+        assert layer["self_k"].dtype == jnp.int8
+        assert "self_k_scale" in layer
+
     def test_beam_search_with_int8_cache(self, mt_model):
         """Beam search must carry the int8 cache (incl. scale entries)
         through the while_loop and produce the same tokens."""
