@@ -96,9 +96,13 @@ def _bench_beam_p50(model, spec, params, batch_size=32, n_frames=1000,
             "beam_batch_size": batch_size, "beam_size": beam_size}
 
 
-def _bench_train_step(model, spec, params, batch_size=128, n_frames=1000,
+def _bench_train_step(model, spec, params, batch_size=192, n_frames=1000,
                       trg_len=48, iters=5):
-    """Training throughput: audio seconds consumed per wall second per chip."""
+    """Training throughput: audio seconds consumed per wall second per chip.
+
+    B=192 is the measured per-chip sweet spot after the round-3 step work
+    (10.1k audio-s/s, 46% MFU vs 9.3k/42% at B=128; B=256 regresses under
+    HBM pressure — scripts/probe_train_batch.py)."""
     import optax
 
     from joeys2t_tpu.losses import XentCTCLoss
