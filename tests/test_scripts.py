@@ -37,3 +37,60 @@ def test_normalizer_numbers_and_punct():
     assert out == out.lower()
     assert "twenty" in out and "five" in out  # 25 -> words
     assert "25" not in out
+
+
+def test_generate_synthetic_asr_corpus(tmp_path):
+    """The synthetic-ASR generator (flagship-scale e2e evidence corpus,
+    docs/benchmarks_s2t.md) writes reference-format speech manifests that
+    SpeechDataset loads: id|src|n_frames|trg|speaker tsv + .npy features +
+    char vocab; splits are disjoint and n_frames matches the arrays."""
+    import numpy as np
+
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [sys.executable,
+         (REPO / "scripts/generate_synthetic_asr.py").as_posix(),
+         "--out", out.as_posix(), "--train", "12", "--dev", "4",
+         "--test", "4", "--seed", "3"],
+        capture_output=True, text=True, env=ENV, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+
+    texts = {}
+    for split, n in [("train", 12), ("dev", 4), ("test", 4)]:
+        lines = (out / f"{split}.tsv").read_text().strip().split("\n")
+        assert lines[0] == "id\tsrc\tn_frames\ttrg\tspeaker"
+        assert len(lines) == n + 1
+        for ln in lines[1:]:
+            uid, src, n_frames, trg, speaker = ln.split("\t")
+            feat = np.load(out / src)
+            assert feat.shape == (int(n_frames), 80)
+            assert feat.dtype == np.float32
+            assert np.isfinite(feat).all()
+            texts.setdefault(split, set()).add(trg)
+    assert not (texts["train"] & texts["dev"] & texts["test"])
+    assert not (texts["train"] & texts["test"])
+
+    vocab = (out / "char.txt").read_text().strip().split("\n")
+    assert vocab[0] == chr(9601) and len(vocab) == 27
+
+    # SpeechDataset consumes the manifest through the real tokenizer stack
+    from joeys2t_tpu.data.datasets import build_dataset
+    from joeys2t_tpu.tokenizers import build_tokenizer
+
+    data_cfg = {
+        "train": (out / "train").as_posix(),
+        "dataset_type": "speech",
+        "src": {"lang": "en", "level": "frame", "num_freq": 80,
+                "min_length": 1, "max_length": 3000,
+                "tokenizer_type": "speech", "tokenizer_cfg": {}},
+        "trg": {"lang": "en", "level": "char", "lowercase": True,
+                "max_length": 512},
+    }
+    tokenizer = build_tokenizer(data_cfg, task="S2T")
+    ds = build_dataset(dataset_type="speech", path=(out / "train").as_posix(),
+                       src_lang="src", trg_lang="trg", split="train",
+                       tokenizer=tokenizer, sequence_encoder=None, task="S2T")
+    assert len(ds) == 12
+    idx, feat, trg = ds[0]  # (index, features, char tokens)
+    assert feat.shape[1] == 80
+    assert len(trg) > 0 and all(isinstance(t, str) for t in trg)
