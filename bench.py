@@ -149,10 +149,14 @@ def _bench_train_step(model, spec, params, batch_size=192, n_frames=1000,
     # Charging all params to all tokens would overcount ~2x for an
     # encoder-decoder model. Attention scores, conv subsampler and CTC are
     # excluded (lower bound). v5e bf16 peak = 197 TFLOP/s.
-    n_enc = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params["encoder"]))
-    n_all = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    def _count(tree):
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    n_sub = _count(params["encoder"].get("subsampler", {}))
+    n_enc = _count(params["encoder"]) - n_sub  # subsampler excluded, per above
+    n_all = _count(params)
     model_flops = 6.0 * batch_size * (n_enc * (n_frames // 4)
-                                      + (n_all - n_enc) * (trg_len - 1))
+                                      + (n_all - n_enc - n_sub) * (trg_len - 1))
 
     p, o, l = train_step(params, opt_state, jnp.float32(0))
     np.asarray(l)  # force completion (remote backend)

@@ -96,11 +96,15 @@ class Batch:
 
     # ------------------------------------------------------------ static pad
     def pad_to_shape(self, batch_size: Optional[int] = None,
-                     buckets: Sequence[int] = DEFAULT_BUCKETS) -> "Batch":
+                     buckets: Sequence[int] = DEFAULT_BUCKETS,
+                     src_len: Optional[int] = None,
+                     trg_len: Optional[int] = None) -> "Batch":
         """Pad sequence dims up to bucket boundaries and the batch dim up to
         ``batch_size`` so jitted steps compile once per bucket combination.
         Padded rows carry pad tokens / zero masks / index -1 and contribute
-        nothing to loss or outputs."""
+        nothing to loss or outputs. ``src_len``/``trg_len`` override the
+        bucket choice (multi-host training pads every process to the same
+        globally-agreed shapes)."""
         b = self.nseqs
         target_b = batch_size if batch_size is not None else b
         assert target_b >= b, (target_b, b)
@@ -112,7 +116,9 @@ class Batch:
             widths[axis] = (0, length - arr.shape[axis])
             return np.pad(arr, widths, constant_values=value)
 
-        src_len = round_up_to_bucket(self.src.shape[1], buckets)
+        if src_len is None:
+            src_len = round_up_to_bucket(self.src.shape[1], buckets)
+        assert src_len >= self.src.shape[1], (src_len, self.src.shape)
         if self.task == "MT":
             src = pad_arr(self.src, src_len, 1, self.pad_index)
         else:
@@ -138,7 +144,9 @@ class Batch:
         new.nseqs = target_b
 
         if self.has_trg:
-            trg_len = round_up_to_bucket(self.trg.shape[1], buckets)
+            if trg_len is None:
+                trg_len = round_up_to_bucket(self.trg.shape[1], buckets)
+            assert trg_len >= self.trg.shape[1], (trg_len, self.trg.shape)
             new.trg = pad_arr(pad_arr(self.trg, trg_len, 1, self.pad_index),
                               target_b, 0, self.pad_index)
             new.trg_input = pad_arr(

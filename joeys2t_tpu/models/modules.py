@@ -248,8 +248,12 @@ class MultiHeadedAttention(nn.Module):
         if k.dtype == jnp.int8 and scale_layout == "position":
             scores = scores * k_scale[:, :, None, :]  # (B, H, S) per-position
         scores = scores + bias[:, None, None, :]
-        weights = jax.nn.softmax(scores, axis=-1)  # f32
+        probs = jax.nn.softmax(scores, axis=-1)  # f32, rows sum to 1
+        weights = probs
         if v.dtype == jnp.int8 and scale_layout == "position":
+            # fold the per-position V scale into the (tiny) weights tensor;
+            # `probs` stays un-scaled so returned attention maps remain
+            # probabilities
             weights = weights * v_scale[:, :, None, :]
         ctx = jnp.einsum("bhqk,bhkd->bqhd", weights.astype(self.dtype),
                          v.astype(self.dtype))
@@ -257,7 +261,7 @@ class MultiHeadedAttention(nn.Module):
             ctx = ctx * v_scale[:, None, :, :].astype(ctx.dtype)
         out = self.output_layer(self._merge_heads(ctx))
         if return_weights:
-            return out, jnp.mean(weights, axis=1)
+            return out, jnp.mean(probs, axis=1)
         return out, None
 
     def step_self(

@@ -586,12 +586,19 @@ def _interpret() -> bool:
 def supported(sq: int, sk: int, d: int, dtype, num_heads: int = 4) -> bool:
     """Whether the kernel path applies (alignment + VMEM slab budget).
 
-    Unaligned sk is padded internally (masked via the bias); the K+V slabs
-    for one batch row (all heads) must fit VMEM comfortably."""
+    Unaligned sk is padded internally (masked via the bias). The budget
+    must match the kernel that will actually run: sk <= LONG_S stages
+    all-heads flat K+V slabs per batch row; sk > LONG_S dispatches to the
+    (B, H, S, D) kernels whose slabs are per-head (sk, d) — so long
+    sources are gated on the per-head slab, not the flat one."""
     if d % 64 != 0 or d > 256:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if 2 * sk * num_heads * d * itemsize > 8 * 1024 * 1024:
+    if sk > LONG_S:
+        # K+V per-head slabs, double-buffered by Pallas: 4 * sk*d bytes
+        if 4 * sk * d * itemsize > 8 * 1024 * 1024:
+            return False
+    elif 2 * sk * num_heads * d * itemsize > 8 * 1024 * 1024:
         return False
     return dtype in (jnp.float32, jnp.bfloat16)
 

@@ -42,6 +42,7 @@ class MeshContext:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+
     def shard_array(self, x: np.ndarray):
         """Place a host array on the mesh, sharded along dim 0."""
         return jax.device_put(x, self.data_sharding)
@@ -65,15 +66,45 @@ def get_default_mesh() -> Optional[MeshContext]:
 
 def maybe_shard_batch(x, batch_dim_size: Optional[int] = None):
     """device_put an array with dim-0 data sharding when a default mesh is
-    installed and the batch divides the dp size; otherwise return as-is."""
+    installed and the batch divides the dp size; otherwise return as-is.
+
+    Multi-process: eval/search is process-local — each rank decodes only the
+    batches it owns (prediction._eval_shard_info), so a device_put onto the
+    global sharding would be a cross-process collective the other ranks
+    never join (observed as a gloo size-mismatch abort). Leave the array on
+    the local default device instead (see also ``local_param_view``)."""
     ctx = _DEFAULT_MESH
     if ctx is None or x is None:
+        return x
+    if jax.process_count() > 1:
         return x
     dp = ctx.mesh.shape["data"]
     n = x.shape[0] if batch_dim_size is None else batch_dim_size
     if dp <= 1 or n % dp != 0:
         return x
     return jax.device_put(x, ctx.data_sharding)
+
+
+def local_param_view(tree):
+    """Comm-free process-local view of a (replicated) global param tree.
+
+    Training holds params replicated over the multi-process mesh; eval/search
+    decodes owner-only batches locally, and a jit mixing global-mesh params
+    with local inputs fails with "incompatible devices". Every process holds
+    a full copy of each replicated leaf, so re-wrapping the first addressable
+    shard (zero-copy, same HBM buffer) yields local single-device arrays.
+    Leaves that are fully addressable already (single-host, or loaded from a
+    checkpoint in predict-only mode) pass through. A leaf sharded across
+    processes (e.g. tensor-parallel over a multi-host `model` axis) cannot be
+    viewed locally — eval with such params must run unsharded; left as-is to
+    fail loudly in the downstream jit rather than silently decode garbage."""
+    def f(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and x.sharding.is_fully_replicated):
+            return x.addressable_data(0)
+        return x
+
+    return jax.tree.map(f, tree)
 
 
 def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> MeshContext:

@@ -186,6 +186,13 @@ def predict(
     """Generate translations (+ optional loss) for the given data
     (joeynmt/prediction.py:51-381)."""
     # pylint: disable=too-many-branches,too-many-statements
+    if jax.process_count() > 1:
+        # decode is process-local (owner-only batches, sharded eval) — a jit
+        # over global-mesh params would need every rank in lock-step per
+        # batch; take the comm-free local view of the replicated params
+        from joeys2t_tpu.parallel.mesh import local_param_view
+
+        params = local_param_view(params)
     valid_iter, batch_sampler = data.make_iter(
         batch_size=args.batch_size,
         batch_type=args.batch_type,

@@ -45,6 +45,55 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _multihost_sync_stream(train_iter, batch_size: int, dp: int):
+    """Keep multi-host ranks in lock-step for one epoch of batches.
+
+    Two hazards make naive per-process iteration diverge: (a) the samplers
+    drop None-filtered instances AFTER the rank-strided split
+    (data/samplers.py SentenceBatchSampler), so local batch counts can
+    differ — the rank with more batches would block forever in the next
+    global collective; (b) each rank's ``pad_to_shape`` buckets by its own
+    local max length, but ``jax.make_array_from_process_local_data``
+    needs identically-shaped local shards on every process. One tiny host
+    allgather per batch settles both: the epoch ends at the first
+    exhausted rank (matching drop_last spirit; the reference's torch-DDP
+    loop hangs in this case, joeynmt/datasets.py:1164-1246 has the same
+    post-split drop), and every rank pads to the globally-agreed shapes.
+
+    Yields ``(batch, (src_len, trg_len, target_b))``.
+    """
+    from jax.experimental import multihost_utils
+
+    from joeys2t_tpu.data.batch import round_up_to_bucket
+
+    it = iter(train_iter)
+    while True:
+        try:
+            batch = next(it)
+        except StopIteration:
+            batch = None
+        if batch is None:
+            local = np.zeros((4,), np.int64)
+        else:
+            tb = int(np.ceil(max(batch_size, batch.nseqs) / dp) * dp)
+            trg_b = round_up_to_bucket(batch.trg.shape[1]) \
+                if batch.has_trg else 0
+            local = np.array(
+                [1, round_up_to_bucket(batch.src.shape[1]), trg_b, tb],
+                np.int64)
+        glob = np.asarray(multihost_utils.process_allgather(local))
+        if int(glob[:, 0].min()) == 0:
+            if batch is not None:
+                n_tail = 1 + sum(1 for _ in it)
+                logger.warning(
+                    "Multi-host epoch sync: dropping %d local tail "
+                    "batch(es) so all ranks finish the epoch together.",
+                    n_tail)
+            return
+        yield batch, (int(glob[:, 1].max()), int(glob[:, 2].max()),
+                      int(glob[:, 3].max()))
+
+
 def frozen_prefixes(model_cfg: Dict) -> set:
     """Param-tree prefixes frozen via `freeze: True` in the model config."""
     frozen = set()
@@ -112,13 +161,18 @@ class TrainManager:
         self.model_dir = Path(model_dir)
         self.num_workers = num_workers
         self.mesh = mesh if mesh is not None else get_mesh()
+        # rank-0-only artifact writes (ckpts, validations.txt, hyps, plots,
+        # tensorboard) — the reference's `rank == 0` gating
+        # (joeynmt/training.py:149-218, :687-702)
+        self.is_main = jax.process_index() == 0
 
         # tensorboard (optional dependency)
         try:
             from tensorboardX import SummaryWriter
 
             self.tb_writer = SummaryWriter(
-                log_dir=(self.model_dir / "tensorboard").as_posix())
+                log_dir=(self.model_dir / "tensorboard").as_posix()) \
+                if self.is_main else None
         except Exception:  # pragma: no cover
             self.tb_writer = None
 
@@ -266,6 +320,8 @@ class TrainManager:
         }
 
     def _save_checkpoint(self, new_best: bool, score: float) -> None:
+        if not self.is_main:
+            return
         self.ckpt_mgr.save(self.stats.steps, self._state_for_ckpt(), new_best, score)
 
     def init_from_checkpoint(self, path, reset_best_ckpt=False, reset_scheduler=False,
@@ -367,9 +423,15 @@ class TrainManager:
 
                 accum = None
                 micro = 0
-                for batch in self.train_iter:
+                if jax.process_count() > 1:
+                    stream = _multihost_sync_stream(
+                        self.train_iter, self.args.batch_size,
+                        self.mesh.mesh.shape["data"])
+                else:
+                    stream = ((b, None) for b in self.train_iter)
+                for batch, sync_dims in stream:
                     nseqs_real, ntokens_real, arrays, normalizer = \
-                        self._prepare_batch(batch)
+                        self._prepare_batch(batch, sync_dims)
                     self._dropout_rng, step_rng = jax.random.split(self._dropout_rng)
 
                     if self.args.batch_multiplier == 1:
@@ -476,14 +538,21 @@ class TrainManager:
             if self.tb_writer is not None:
                 self.tb_writer.close()
 
-    def _prepare_batch(self, batch: Batch):
+    def _prepare_batch(self, batch: Batch, sync_dims=None):
         """Pad to static shapes, device_put with data sharding, compute the
-        loss normalizer from the real counts."""
+        loss normalizer from the real counts. ``sync_dims`` carries the
+        globally-agreed (src_len, trg_len, target_b) in multi-host runs."""
         nseqs_real, ntokens_real = batch.nseqs, batch.ntokens
         dp = self.mesh.mesh.shape["data"]
         target_b = max(self.args.batch_size, nseqs_real)
         target_b = int(np.ceil(target_b / dp) * dp)
-        padded = batch.pad_to_shape(batch_size=target_b)
+        if sync_dims is not None:
+            src_len, trg_len, tb = sync_dims
+            padded = batch.pad_to_shape(batch_size=max(target_b, tb),
+                                        src_len=src_len,
+                                        trg_len=trg_len or None)
+        else:
+            padded = batch.pad_to_shape(batch_size=target_b)
         arrays = _batch_to_arrays(padded)
         from joeys2t_tpu.parallel import shard_batch_arrays
 
@@ -548,10 +617,11 @@ class TrainManager:
         self._add_report(valid_scores=valid_scores, new_best=new_best)
         self._log_examples(references=valid_references, hypotheses=valid_hypotheses,
                            hypotheses_raw=valid_hypotheses_raw, data=valid_data)
-        write_list_to_file(self.model_dir / f"{self.stats.steps}.hyps",
-                           valid_hypotheses)
+        if self.is_main:
+            write_list_to_file(self.model_dir / f"{self.stats.steps}.hyps",
+                               valid_hypotheses)
 
-        if valid_attention_scores:
+        if valid_attention_scores and self.is_main:
             store_attention_plots(
                 attentions=valid_attention_scores, targets=valid_hypotheses_raw,
                 sources=valid_data.get_list(lang=valid_data.src_lang, tokenized=True,
@@ -562,6 +632,8 @@ class TrainManager:
 
     def _add_report(self, valid_scores: dict, new_best: bool = False) -> None:
         """validations.txt report (joeynmt/training.py:687-702)."""
+        if not self.is_main:
+            return
         current_lr = self.current_lr
         valid_file = self.model_dir / "validations.txt"
         with valid_file.open("a", encoding="utf-8") as opened_file:
@@ -671,6 +743,13 @@ def train(cfg: Dict, skip_test: bool = False) -> None:
         model_cfg=args.model)
 
     trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
+
+    if jax.process_count() > 1:
+        # non-zero ranks must not race ahead to read best.ckpt while the
+        # main process is still writing it (rank-0-only artifact writes)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("joeys2t_train_end")
 
     if not skip_test:
         ckpt = args.model_dir / "best.ckpt"

@@ -247,3 +247,114 @@ def test_two_process_predict_order_matches_single_process(tmp_path):
     # ...and still yields the full set, in dataset order, equal to 1-process
     assert double[0] == single
     assert double[1] == single
+
+
+TRAIN_MANAGER_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    cfg_path = sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    sys.path.insert(0, %r)
+    import yaml
+    from joeys2t_tpu.config import parse_global_args, set_validation_args
+    from joeys2t_tpu.prediction import prepare
+    from joeys2t_tpu.training import TrainManager
+
+    cfg = yaml.safe_load(open(cfg_path))
+    args = parse_global_args(cfg, rank=pid, mode="train")
+    model, spec, params, loss_fn, train_data, dev_data, _ = prepare(
+        args, rank=pid, mode="train")
+    trainer = TrainManager(
+        model=model, spec=spec, params=params, loss_fn=loss_fn,
+        model_dir=args.model_dir, task=args.task, seed=args.seed,
+        train_args=args.train, dev_args=set_validation_args(args.test),
+        num_workers=0, model_cfg=args.model)
+    trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
+    print("STEPS " + str(trainer.stats.steps), flush=True)
+""")
+
+
+@pytest.mark.skipif(os.environ.get("JOEYS2T_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_train_manager_stays_in_lockstep(tmp_path):
+    """Full TrainManager loop across 2 processes with DELIBERATELY
+    divergent per-rank data: the samplers drop None-filtered (overlong)
+    items after the rank-strided split, so rank 0 has 2 local batches and
+    rank 1 has 3; and the ranks' step-1 batches fall in different length
+    buckets. Without the per-batch sync (training._multihost_sync_stream)
+    rank 1 would block forever in a collective (the reference's torch-DDP
+    loop has the same latent hang, joeynmt/datasets.py:1164-1246);
+    with it, both ranks finish the epoch at the same step count and
+    rank-0-only artifact gating yields exactly one validations.txt line
+    per validation."""
+    import socket
+
+    import yaml
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    # 12 train items, rank-strided (shuffle False): rank0 gets even indices,
+    # rank1 odd. Items 6 and 8 are overlong (20 > max_length 15) -> only
+    # rank0 drops them (6 -> 4 items -> 2 batches vs rank1's 3 batches).
+    # Item 0 has 12 tokens (bucket 16) while rank1's step-1 items have 4
+    # (bucket 8) -> divergent local pad shapes that must be synced.
+    lengths = [12, 4, 5, 4, 6, 5, 20, 4, 20, 5, 6, 4]
+    src = [" ".join(str((i + j) % 10) for j in range(n))
+           for i, n in enumerate(lengths)]
+    trg = [" ".join(reversed(s.split())) for s in src]
+    (data_dir / "train.src").write_text("\n".join(src) + "\n")
+    (data_dir / "train.trg").write_text("\n".join(trg) + "\n")
+    (data_dir / "dev.src").write_text("\n".join(src[1:5]) + "\n")
+    (data_dir / "dev.trg").write_text("\n".join(trg[1:5]) + "\n")
+
+    cfg = yaml.safe_load(open(REPO / "configs/transformer_reverse.yaml"))
+    cfg["model_dir"] = (tmp_path / "model").as_posix()
+    cfg["data"].update(
+        train=(data_dir / "train").as_posix(),
+        dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "dev").as_posix(),
+        sample_train_subset=-1, sample_dev_subset=-1)
+    cfg["data"]["src"]["max_length"] = 15
+    cfg["data"]["trg"]["max_length"] = 25
+    cfg["training"].update(epochs=1, updates=100, validation_freq=2,
+                           logging_freq=1, batch_size=2, batch_multiplier=1,
+                           shuffle=False, overwrite=False)
+    cfg["testing"].update(batch_size=4)
+    for side in ("encoder", "decoder"):
+        cfg["model"][side].update(num_layers=1, hidden_size=16, ff_size=32)
+        cfg["model"][side]["embeddings"]["embedding_dim"] = 16
+
+    from joeys2t_tpu.helpers import make_model_dir
+    make_model_dir(Path(cfg["model_dir"]))
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    code = TRAIN_MANAGER_WORKER % (REPO.as_posix(),)
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": ""}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code, str(i), port, cfg_path.as_posix()],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    steps = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("STEPS ")][0]
+        steps.append(int(line.split()[1]))
+    # both ranks end the epoch together at the global-min batch count
+    assert steps == [2, 2], steps
+    # artifact writes are rank-0-only: one report line for the one
+    # validation (step 2), no duplicates from rank 1
+    report = (Path(cfg["model_dir"]) / "validations.txt").read_text()
+    assert len(report.strip().splitlines()) == 1, report

@@ -67,8 +67,9 @@ def test_generate_synthetic_asr_corpus(tmp_path):
             assert feat.dtype == np.float32
             assert np.isfinite(feat).all()
             texts.setdefault(split, set()).add(trg)
-    assert not (texts["train"] & texts["dev"] & texts["test"])
+    assert not (texts["train"] & texts["dev"])
     assert not (texts["train"] & texts["test"])
+    assert not (texts["dev"] & texts["test"])
 
     vocab = (out / "char.txt").read_text().strip().split("\n")
     assert vocab[0] == chr(9601) and len(vocab) == 27
