@@ -13,7 +13,7 @@ import math
 import time
 from functools import partial
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -418,11 +418,12 @@ class TrainManager:
                 start_correct = self.stats.total_correct
                 epoch_nseqs, epoch_ntokens, epoch_loss = 0, 0, 0.0
                 total_valid_duration = 0.0
-                total_batch_loss = 0.0
                 start = time.time()
 
                 accum = None
                 micro = 0
+                pending = []  # (step_no, [device metrics]) awaiting sync
+                micro_metrics = []
                 if jax.process_count() > 1:
                     stream = _multihost_sync_stream(
                         self.train_iter, self.args.batch_size,
@@ -452,20 +453,22 @@ class TrainManager:
                             accum = None
                             micro = 0
 
-                    norm_loss, nll, ctc, n_correct = metrics
-                    if not np.isfinite(float(norm_loss)):
-                        # host-side counterpart of the reference's non-NaN
-                        # assertion (joeynmt/loss.py:166-167)
-                        logger.warning("Non-finite batch loss %s at step %d",
-                                       float(norm_loss), self.stats.steps)
-                    total_batch_loss += float(norm_loss)
+                    # Defer metric materialization: float(loss) blocks the
+                    # host until the step finishes, serializing batch prep
+                    # with device compute (and paying a full round-trip per
+                    # step on remote backends). Metrics stay device scalars
+                    # until the next logging/validation boundary, so the
+                    # host runs ahead, overlapping collate + pad +
+                    # device_put of step N+1 with step N's execution.
+                    micro_metrics.append(metrics)
                     epoch_nseqs += nseqs_real
                     epoch_ntokens += ntokens_real
                     self.stats.total_tokens += ntokens_real
-                    self.stats.total_correct += int(n_correct)
 
                     if stepped:
                         self.stats.steps += 1
+                        pending.append((self.stats.steps, micro_metrics))
+                        micro_metrics = []
                         if profile_window is not None:
                             if self.stats.steps == profile_window[0]:
                                 jax.profiler.start_trace(profile_dir)
@@ -482,18 +485,19 @@ class TrainManager:
                             self.stats.is_max_update = True
 
                         if self.stats.steps % self.args.logging_freq == 0:
+                            losses_sum, last_loss = \
+                                self._sync_pending_metrics(pending)
+                            epoch_loss += losses_sum
                             elapsed = time.time() - start - total_valid_duration
                             self._log_scores(epoch_no, elapsed, start_tokens,
-                                             start_correct, total_batch_loss)
+                                             start_correct, last_loss)
                             start = time.time()
                             start_tokens = self.stats.total_tokens
                             start_correct = self.stats.total_correct
                             total_valid_duration = 0
 
-                        epoch_loss += total_batch_loss
-                        total_batch_loss = 0.0
-
                         if self.stats.steps % self.args.validation_freq == 0:
+                            epoch_loss += self._sync_pending_metrics(pending)[0]
                             valid_start_time = time.time()
                             valid_data.seed = self.seed + self.stats.steps
                             self._validate(valid_data)
@@ -502,6 +506,7 @@ class TrainManager:
                     if self.stats.is_min_lr or self.stats.is_max_update:
                         break
 
+                epoch_loss += self._sync_pending_metrics(pending)[0]
                 if self.stats.is_min_lr or self.stats.is_max_update:
                     log_str = (f"minimum lr {self.args.learning_rate_min}"
                                if self.stats.is_min_lr else
@@ -656,6 +661,31 @@ class TrainManager:
             logger.info("\tSource:     %s", detokenized_src)
             logger.info("\tReference:  %s", references[p])
             logger.info("\tHypothesis: %s", hypotheses[p])
+
+    def _sync_pending_metrics(self, pending) -> Tuple[float, float]:
+        """Materialize deferred per-step device metrics in one host sync.
+
+        ``pending`` holds (step_no, [metric tuples]) groups — one group per
+        optimizer step, one tuple per micro-batch. Updates
+        ``stats.total_correct`` and performs the host-side non-finite-loss
+        check (the reference asserts per batch, joeynmt/loss.py:166-167; here
+        the check lands at the next logging/validation boundary so the step
+        loop never blocks on the device). Returns (sum of per-step losses,
+        loss of the most recent step) and clears ``pending``."""
+        losses_sum, last_loss = 0.0, 0.0
+        for step_no, group in pending:
+            step_loss = 0.0
+            for m in group:
+                v = float(m[0])
+                if not np.isfinite(v):
+                    logger.warning("Non-finite batch loss %s at step %d",
+                                   v, step_no)
+                step_loss += v
+                self.stats.total_correct += int(m[3])
+            losses_sum += step_loss
+            last_loss = step_loss
+        pending.clear()
+        return losses_sum, last_loss
 
     def _log_scores(self, epoch_no, elapsed_time, start_tokens, start_correct,
                     total_batch_loss) -> None:
