@@ -506,6 +506,12 @@ class TrainManager:
                     if self.stats.is_min_lr or self.stats.is_max_update:
                         break
 
+                if micro_metrics:
+                    # incomplete accumulation group at epoch end: no optimizer
+                    # step ran, but its micro-batch losses still count into
+                    # the epoch totals (matching the eager accounting)
+                    pending.append((self.stats.steps, micro_metrics))
+                    micro_metrics = []
                 epoch_loss += self._sync_pending_metrics(pending)[0]
                 if self.stats.is_min_lr or self.stats.is_max_update:
                     log_str = (f"minimum lr {self.args.learning_rate_min}"
