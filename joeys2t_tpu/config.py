@@ -79,6 +79,12 @@ class TrainConfig:
     batch_type: str = "sentence"
     batch_multiplier: int = 1
     ctc_weight: float = 0.0
+    # beyond-reference: tensor-parallel degree (`model` mesh axis). The
+    # reference is dp-only (SURVEY.md §2.3); here the same YAML drives the
+    # 2-D (data, model) mesh — Megatron-style param sharding (parallel/tp.py)
+    # plus optional sequence parallelism (model.sequence_parallel) and
+    # expert parallelism (MoE expert dim rides the same axis).
+    model_parallel: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,6 +251,10 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
     batch_type = cfg.get("batch_type", "sentence").lower()
     _check_options("batch_type", batch_type, ["sentence", "token"])
 
+    model_parallel = int(cfg.get("model_parallel", 1))
+    if model_parallel < 1:
+        raise ConfigurationError("`model_parallel` must be >= 1.")
+
     logging_freq = cfg.get("logging_freq", 100)
     validation_freq = cfg.get("validation_freq", 1000)
     if logging_freq > validation_freq:
@@ -290,6 +300,7 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
         batch_type=batch_type,
         batch_multiplier=cfg.get("batch_multiplier", 1),
         ctc_weight=cfg.get("ctc_weight", 0.0),
+        model_parallel=model_parallel,
     )
 
 

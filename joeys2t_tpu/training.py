@@ -22,6 +22,7 @@ import optax
 
 from joeys2t_tpu.checkpoints import CheckpointManager, load_checkpoint, partial_load
 from joeys2t_tpu.config import (
+    ConfigurationError,
     TestConfig,
     TrainConfig,
     log_config,
@@ -160,7 +161,19 @@ class TrainManager:
         self.seed = seed
         self.model_dir = Path(model_dir)
         self.num_workers = num_workers
-        self.mesh = mesh if mesh is not None else get_mesh()
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # 2-D (data, model) mesh straight from the YAML `training:
+            # model_parallel` knob (beyond-reference; the torch original is
+            # dp-only, joeynmt/helpers_for_ddp.py)
+            mp = getattr(self.args, "model_parallel", 1) or 1
+            if jax.device_count() % mp != 0:
+                raise ConfigurationError(
+                    f"model_parallel={mp} does not divide the "
+                    f"{jax.device_count()} available devices.")
+            self.mesh = get_mesh(model_parallel=mp)
+        self._tp = self.mesh.mesh.shape.get("model", 1) > 1
         # rank-0-only artifact writes (ckpts, validations.txt, hyps, plots,
         # tensorboard) — the reference's `rank == 0` gating
         # (joeynmt/training.py:149-218, :687-702)
@@ -182,7 +195,7 @@ class TrainManager:
         self.tx = optax.chain(clipper, base_tx) if clipper is not None else base_tx
         self._clipped = clipper is not None
 
-        self.params = self.mesh.replicate_tree(params)
+        self.params = self._place_params(params)
         # `freeze: True` sub-modules get zero updates (the reference's
         # freeze_params / requires_grad=False, joeynmt/helpers.py)
         frozen = frozen_prefixes(model_cfg or {})
@@ -229,6 +242,32 @@ class TrainManager:
                                       ("decoder", self.args.load_decoder)]:
             if load_path is not None:
                 self.init_layers(path=load_path, layer=layer_name)
+
+    # --------------------------------------------------------- param placement
+    def _place_params(self, params):
+        """Replicated placement (dp), or Megatron-style sharding over the
+        `model` axis when model_parallel > 1 (parallel/tp.py). GSPMD derives
+        the matching gradient/optimizer shardings and inserts the per-layer
+        all-reduces; the train/accum/apply steps need no changes."""
+        if not self._tp:
+            return self.mesh.replicate_tree(params)
+        from joeys2t_tpu.parallel.tp import shard_params_tp
+
+        return shard_params_tp(params, self.mesh)
+
+    def _place_opt_state(self, opt_state):
+        """Restored optimizer state is host numpy; under tp, place each leaf
+        with the sharding GSPMD gives the freshly-initialized state (adam
+        mu/nu inherit their param's sharding), so resume keeps the tp memory
+        savings. Structure-wise the restored and fresh states match (same
+        optax chain); the template buffers are freed right after."""
+        if not self._tp:
+            return opt_state
+        template = jax.jit(self.tx.init)(self.params)
+        placed = jax.tree.map(
+            lambda t, s: jax.device_put(np.asarray(s), t.sharding)
+            if isinstance(t, jax.Array) else s, template, opt_state)
+        return placed
 
     # -------------------------------------------------------------- jit steps
     def _loss_and_metrics(self, params, batch, dropout_rng, normalizer):
@@ -329,10 +368,10 @@ class TrainManager:
         """joeynmt/training.py:220-292."""
         logger.info("Loading model from %s", path)
         ckpt = load_checkpoint(path)
-        self.params = self.mesh.replicate_tree(ckpt["model_state"])
+        self.params = self._place_params(ckpt["model_state"])
 
         if not reset_optimizer and ckpt.get("optimizer_state") is not None:
-            self.opt_state = ckpt["optimizer_state"]
+            self.opt_state = self._place_opt_state(ckpt["optimizer_state"])
         else:
             self.opt_state = self.tx.init(self.params)
             if reset_optimizer:
@@ -361,7 +400,7 @@ class TrainManager:
         assert path is not None
         logger.info("Loading %s layers from %s", layer, path)
         ckpt = load_checkpoint(path)
-        self.params = self.mesh.replicate_tree(
+        self.params = self._place_params(
             partial_load(dict(self.params), ckpt["model_state"], layer))
 
     # -------------------------------------------------------------- main loop
@@ -381,11 +420,14 @@ class TrainManager:
         if self.train_iter_state is not None:
             self.batch_sampler.set_state(self.train_iter_state)
 
+        dp_size = self.mesh.mesh.shape["data"]
         logger.info(
-            "Train config:\n\tdevices: %d\n\tgradient accumulation: %d\n"
-            "\tbatch size per device: %d\n\teffective batch size: %d",
-            self.mesh.n_devices, self.args.batch_multiplier,
-            self.args.batch_size // max(self.mesh.n_devices, 1),
+            "Train config:\n\tdevices: %d (data=%d, model=%d)\n"
+            "\tgradient accumulation: %d\n"
+            "\tbatch size per data shard: %d\n\teffective batch size: %d",
+            self.mesh.n_devices, dp_size, self.mesh.mesh.shape.get("model", 1),
+            self.args.batch_multiplier,
+            self.args.batch_size // max(dp_size, 1),
             self.args.batch_size * self.args.batch_multiplier)
 
         # initial lr

@@ -205,3 +205,107 @@ def test_search_under_mesh_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_sh))
     np.testing.assert_allclose(np.asarray(bs_ref), np.asarray(bs_sh),
                                atol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_train_manager_model_parallel_from_config(tmp_path):
+    """`training: model_parallel: 2` in the YAML drives a real 2-D
+    (data=4, model=2) mesh through the production TrainManager: params are
+    Megatron-sharded over `model`, the jitted step + greedy validation run,
+    and the trained params match the dp-only run (same seed, same data —
+    sharding must not change the math beyond float reassociation)."""
+    import sys
+    from pathlib import Path as P_
+
+    import yaml
+
+    sys.path.insert(0, str(P_(__file__).parent.parent / "scripts"))
+    from generate_reverse_task import generate_samples
+
+    from joeys2t_tpu.config import parse_global_args, set_validation_args
+    from joeys2t_tpu.helpers import make_model_dir
+    from joeys2t_tpu.parallel.mesh import set_default_mesh
+    from joeys2t_tpu.prediction import prepare
+    from joeys2t_tpu.training import TrainManager
+
+    repo = P_(__file__).parent.parent
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for split, n, seed in [("train", 64, 1), ("dev", 8, 2), ("test", 8, 3)]:
+        src, trg = generate_samples(n, high=10, min_len=3, max_len=8, seed=seed)
+        (data_dir / f"{split}.src").write_text("\n".join(src) + "\n")
+        (data_dir / f"{split}.trg").write_text("\n".join(trg) + "\n")
+
+    base = yaml.safe_load(open(repo / "configs/transformer_reverse.yaml"))
+    base["data"].update(
+        train=(data_dir / "train").as_posix(), dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "test").as_posix(), sample_train_subset=-1,
+        sample_dev_subset=-1)
+    base["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+                            batch_size=16, batch_multiplier=1,
+                            keep_best_ckpts=1)
+    base["model"]["attention_impl"] = "xla"
+    for side in ("encoder", "decoder"):
+        base["model"][side].update(num_layers=2, num_heads=2, hidden_size=16,
+                                   ff_size=32, dropout=0.0)
+        base["model"][side]["embeddings"]["embedding_dim"] = 16
+
+    def run(mp):
+        import copy
+
+        cfg = copy.deepcopy(base)
+        cfg["model_dir"] = (tmp_path / f"model_mp{mp}").as_posix()
+        cfg["training"]["model_parallel"] = mp
+        make_model_dir(P_(cfg["model_dir"]))
+        args = parse_global_args(cfg, rank=0, mode="train")
+        assert args.train.model_parallel == mp  # YAML -> TrainConfig
+        model, spec, params, loss_fn, train_data, dev_data, _ = prepare(
+            args, rank=0, mode="train")
+        trainer = TrainManager(
+            model=model, spec=spec, params=params, loss_fn=loss_fn,
+            model_dir=args.model_dir, task=args.task, seed=args.seed,
+            train_args=args.train, dev_args=set_validation_args(args.test),
+            num_workers=0, model_cfg=args.model)
+        assert trainer.mesh.mesh.shape.get("model", 1) == mp
+        if mp > 1:
+            from jax.sharding import PartitionSpec
+
+            specs = [x.sharding.spec for x in jax.tree.leaves(trainer.params)]
+            assert any("model" in [a for a in s if a is not None]
+                       for s in specs if s != PartitionSpec()), \
+                "no param tensor is sharded over the model axis"
+        # loss + grads of one real batch through the trainer's own loss path
+        # — sharding must not change the math (tight bound; the end-of-run
+        # param check below must stay loose because adam normalizes by
+        # sqrt(v): for near-zero-gradient biases it amplifies float
+        # reassociation noise to O(lr) differences within a few steps)
+        it, _ = train_data.make_iter(
+            batch_size=16, batch_type="sentence", seed=7, shuffle=False,
+            num_workers=0, eos_index=spec.eos_index, pad_index=spec.pad_index,
+            return_sampler=True)
+        probe_batch = next(iter(it))
+        _, _, arrays, norm = trainer._prepare_batch(probe_batch)
+        (loss, _), grads = jax.jit(jax.value_and_grad(
+            trainer._loss_and_metrics, has_aux=True))(
+                trainer.params, arrays, jax.random.PRNGKey(0), norm)
+        loss = float(loss)
+        grads = jax.tree.map(np.asarray, grads)
+
+        trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
+        assert trainer.stats.steps > 0
+        out = jax.tree.map(np.asarray, trainer.params)
+        set_default_mesh(None)
+        return out, trainer.stats.steps, loss, grads
+
+    p_tp, steps_tp, loss_tp, g_tp = run(2)
+    p_dp, steps_dp, loss_dp, g_dp = run(1)
+    assert steps_tp == steps_dp
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+    flat_tp = jax.tree.leaves(p_tp)
+    flat_dp = jax.tree.leaves(p_dp)
+    assert len(flat_tp) == len(flat_dp)
+    for a, b in zip(flat_tp, flat_dp):
+        # loose: adam noise amplification (see above), not sharding bugs
+        np.testing.assert_allclose(a, b, atol=5e-3)
