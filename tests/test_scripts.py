@@ -95,3 +95,79 @@ def test_generate_synthetic_asr_corpus(tmp_path):
     idx, feat, trg = ds[0]  # (index, features, char tokens)
     assert feat.shape[1] == 80
     assert len(trg) > 0 and all(isinstance(t, str) for t in trg)
+
+
+def test_generate_synthetic_mt_corpus(tmp_path):
+    """The synthetic-MT generator (flagship-scale MT-leg evidence corpus)
+    writes parallel plaintext with disjoint splits, and the target side
+    follows the task grammar: every word is a suffixed noun/verb/adjective
+    form or a gender particle, and there are exactly as many particles as
+    nouns (one inserted after each)."""
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [sys.executable,
+         (REPO / "scripts/generate_synthetic_mt.py").as_posix(),
+         "--out", out.as_posix(), "--train", "30", "--dev", "6",
+         "--test", "6", "--seed", "5"],
+        capture_output=True, text=True, env=ENV, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+
+    srcs = {}
+    for split, n in [("train", 30), ("dev", 6), ("test", 6)]:
+        src = (out / f"{split}.src").read_text().strip().split("\n")
+        trg = (out / f"{split}.trg").read_text().strip().split("\n")
+        assert len(src) == n and len(trg) == n
+        srcs[split] = set(src)
+        for s, t in zip(src, trg):
+            tw = t.split()
+            nouns = [w for w in tw if w.endswith("ne")]
+            particles = [w for w in tw if w in ("qa", "qe", "qo")]
+            others = [w for w in tw
+                      if not (w.endswith(("ne", "ve", "va", "vo", "je"))
+                              or w in ("qa", "qe", "qo"))]
+            assert not others, others
+            assert len(particles) == len(nouns) >= 1, t
+            # target = source words + one particle per noun
+            assert len(tw) == len(s.split()) + len(nouns), (s, t)
+    assert not (srcs["train"] & srcs["dev"])
+    assert not (srcs["train"] & srcs["test"])
+
+
+def test_generate_synthetic_st_corpus(tmp_path):
+    """The synthetic-ST generator reuses the ASR speech rendering but emits
+    TRANSLATED targets: tsv manifests load like speech data, every target
+    word is in the emitted vocab, and the translate() rule is chunk-of-3
+    reversal plus a length-parity particle (non-monotonic alignment)."""
+    import numpy as np
+
+    sys.path.insert(0, (REPO / "scripts").as_posix())
+    from generate_synthetic_st import PARTICLES, build_lexicon, translate
+
+    lex = build_lexicon(123)
+    src = "the quick brown fox jumps over lazy"
+    t = translate(src, lex).split()
+    assert t[:3] == [lex["brown"], lex["quick"], lex["the"]]  # chunk reversed
+    assert t[3:6] == [lex[w] for w in ["over", "jumps", "fox"]]
+    assert t[6] == lex["lazy"]
+    assert t[-1] == PARTICLES[7 % 2]
+
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [sys.executable,
+         (REPO / "scripts/generate_synthetic_st.py").as_posix(),
+         "--out", out.as_posix(), "--train", "8", "--dev", "3",
+         "--test", "3", "--seed", "9"],
+        capture_output=True, text=True, env=ENV, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+
+    vocab = set((out / "trg_vocab.txt").read_text().split())
+    for split, n in [("train", 8), ("dev", 3), ("test", 3)]:
+        lines = (out / f"{split}.tsv").read_text().strip().split("\n")
+        assert lines[0] == "id\tsrc\tn_frames\ttrg\tspeaker"
+        assert len(lines) == n + 1
+        for ln in lines[1:]:
+            uid, src_p, n_frames, trg, speaker = ln.split("\t")
+            feat = np.load(out / src_p)
+            assert feat.shape == (int(n_frames), 80)
+            assert set(trg.split()) <= vocab
+            assert trg.split()[-1] in PARTICLES
