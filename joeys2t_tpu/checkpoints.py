@@ -149,12 +149,49 @@ def average_checkpoints(paths: List[Path]) -> Dict[str, Any]:
 
 def partial_load(params: Dict, ckpt_params: Dict, prefix: str) -> Dict:
     """Load a sub-tree (`encoder`/`decoder`) from another checkpoint
-    (joeynmt/training.py:294-309 load_encoder/load_decoder)."""
+    (joeynmt/training.py:294-309 load_encoder/load_decoder).
+
+    Matches the reference's `load_state_dict(..., strict=False)` semantics:
+    leaves are merged BY PATH — paths present in both load from the
+    checkpoint, paths only in the target keep their init (missing), paths
+    only in the checkpoint are ignored (unexpected), and a shape mismatch
+    on a matching path raises (torch errors on size mismatch even with
+    strict=False). This is what makes the reference's documented ST recipe
+    work: mustc_st.yaml:68 loads a 16-layer ASR encoder into a 12-layer ST
+    encoder — layers 0-11 load, 12-15 are ignored."""
     if prefix not in ckpt_params:
         logger.warning("No `%s` sub-tree found in the checkpoint.", prefix)
         return params
+
+    stats = {"loaded": 0, "missing": 0, "unexpected": 0}
+
+    def merge(target, source, path):
+        if not isinstance(target, dict):
+            t_shape = getattr(target, "shape", None)
+            s_shape = getattr(source, "shape", None)
+            if t_shape != s_shape:
+                raise ValueError(
+                    f"partial_load: shape mismatch at {path}: "
+                    f"checkpoint {s_shape} vs model {t_shape}")
+            stats["loaded"] += 1
+            return source
+        out = {}
+        for k, v in target.items():
+            if isinstance(source, dict) and k in source:
+                out[k] = merge(v, source[k], f"{path}.{k}")
+            else:
+                stats["missing"] += 1
+                out[k] = v
+        if isinstance(source, dict):
+            stats["unexpected"] += sum(1 for k in source if k not in target)
+        return out
+
     new = dict(params)
-    new[prefix] = ckpt_params[prefix]
+    new[prefix] = merge(dict(params[prefix]), ckpt_params[prefix], prefix)
+    logger.info(
+        "partial_load(%s): %d tensors loaded, %d kept at init (missing in "
+        "ckpt), %d ckpt entries ignored (not in model)", prefix,
+        stats["loaded"], stats["missing"], stats["unexpected"])
     return new
 
 

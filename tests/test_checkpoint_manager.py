@@ -140,3 +140,65 @@ class TestStructureCheck:
             check_params_structure({"a": 1}, {"a": {"scale": 1, "bias": 1}})
         with pytest.raises(ValueError, match="bare tensor"):
             check_params_structure({"a": {"scale": 1}}, {"a": 1})
+
+
+class TestPartialLoad:
+    """load_encoder/load_decoder merge semantics — the reference's
+    `load_state_dict(strict=False)` by-name merge (joeynmt/training.py:
+    294-309): matching paths load, missing keep init, unexpected are
+    ignored, shape mismatches raise. The documented ST recipe depends on
+    the `unexpected` rule: mustc_st.yaml loads a 16-layer ASR encoder
+    into a 12-layer ST encoder."""
+
+    def _params(self, n_layers, dim, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        enc = {f"layers_{i}": {"kernel": rng.randn(dim, dim).astype("f4"),
+                               "bias": rng.randn(dim).astype("f4")}
+               for i in range(n_layers)}
+        dec = {"out": {"kernel": rng.randn(dim, 3).astype("f4")}}
+        return {"encoder": enc, "decoder": dec}
+
+    def test_deeper_checkpoint_into_shallower_model(self):
+        import numpy as np
+
+        from joeys2t_tpu.checkpoints import partial_load
+
+        model = self._params(2, 4, seed=0)
+        ckpt = self._params(4, 4, seed=1)
+        merged = partial_load(dict(model), ckpt, "encoder")
+        for i in range(2):  # present in both -> loaded from ckpt
+            np.testing.assert_array_equal(
+                merged["encoder"][f"layers_{i}"]["kernel"],
+                ckpt["encoder"][f"layers_{i}"]["kernel"])
+        assert set(merged["encoder"]) == {"layers_0", "layers_1"}
+        np.testing.assert_array_equal(  # other sub-trees untouched
+            merged["decoder"]["out"]["kernel"],
+            model["decoder"]["out"]["kernel"])
+
+    def test_missing_in_ckpt_keeps_init(self):
+        import numpy as np
+
+        from joeys2t_tpu.checkpoints import partial_load
+
+        model = self._params(3, 4, seed=0)
+        ckpt = self._params(1, 4, seed=1)
+        merged = partial_load(dict(model), ckpt, "encoder")
+        np.testing.assert_array_equal(
+            merged["encoder"]["layers_0"]["bias"],
+            ckpt["encoder"]["layers_0"]["bias"])
+        for i in (1, 2):
+            np.testing.assert_array_equal(
+                merged["encoder"][f"layers_{i}"]["kernel"],
+                model["encoder"][f"layers_{i}"]["kernel"])
+
+    def test_shape_mismatch_raises(self):
+        import pytest
+
+        from joeys2t_tpu.checkpoints import partial_load
+
+        model = self._params(1, 4, seed=0)
+        ckpt = self._params(1, 8, seed=1)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            partial_load(dict(model), ckpt, "encoder")
