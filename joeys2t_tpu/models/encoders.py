@@ -160,6 +160,11 @@ class ConformerEncoder(nn.Module):
     remat: bool = False  # see TransformerEncoder.remat
     sequence_parallel: bool = False  # see TransformerEncoder.sequence_parallel
     conv_norm_type: str = "layernorm"  # "batchnorm" for converted reference ckpts
+    # "reference" for converted checkpoints (bit-compatible with the torch
+    # original, incl. its 1.5x-per-macaron-FF stream amplification);
+    # "paper" (arXiv:2005.08100) for training from scratch — the reference
+    # form diverges at depth (see modules.ConformerEncoderLayer.macaron)
+    macaron: str = "reference"
 
     @property
     def output_size(self) -> int:
@@ -175,7 +180,8 @@ class ConformerEncoder(nn.Module):
                 layer_norm_position=self.layer_norm_position,
                 depthwise_conv_kernel_size=self.depthwise_conv_kernel_size,
                 dtype=self.dtype, attn_impl=self.attn_impl,
-                conv_norm_type=self.conv_norm_type, name=f"layer_{i}")
+                conv_norm_type=self.conv_norm_type, macaron=self.macaron,
+                name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear")

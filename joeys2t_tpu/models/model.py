@@ -271,6 +271,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
             encoder = ConformerEncoder(
                 depthwise_conv_kernel_size=enc_cfg.get("depthwise_conv_kernel_size", 31),
                 conv_norm_type=enc_cfg.get("conv_norm", "layernorm"),
+                macaron=enc_cfg.get("macaron", "reference"),
                 **common)
         else:
             encoder = TransformerEncoder(

@@ -822,9 +822,20 @@ class ConformerEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     conv_norm_type: str = "layernorm"
+    # "reference" reproduces the torch original bit-for-bit (required for
+    # checkpoint conversion): its macaron step is 0.5*PFF(x) + x where PFF
+    # already contains the residual, i.e. x <- 1.5x + 0.5*ff_core(LN(x)) —
+    # the stream is amplified ~1.5x per macaron FF, growing exponentially
+    # with depth (measured: encoder-output std 1.0e0 -> 1.4e3 over 16
+    # layers at init), which makes deep conformers untrainable from
+    # scratch (loss diverges within 200 steps; the reference publishes no
+    # trained conformer). "paper" is the arXiv:2005.08100 form,
+    # x <- x + 0.5*ff_core(LN(x)) — use it for training new models.
+    macaron: str = "reference"
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
+        assert self.macaron in {"reference", "paper"}, self.macaron
         ff = lambda name: PositionwiseFeedForward(
             input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
             alpha=self.alpha, layer_norm_position=self.layer_norm_position,
@@ -849,7 +860,12 @@ class ConformerEncoderLayer(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         residual = x
         x = self.initial_feed_forward(x, deterministic=deterministic)
-        x = 0.5 * x + residual
+        if self.macaron == "paper":
+            # PFF returns ff_core + alpha*x; recover the half-step on the
+            # core alone: residual + 0.5*(PFF(x) - alpha*residual)
+            x = residual + 0.5 * (x - self.alpha * residual)
+        else:
+            x = 0.5 * x + residual
 
         residual = x
         if self.layer_norm_position == "pre":
@@ -864,12 +880,21 @@ class ConformerEncoderLayer(nn.Module):
         x = x + self.alpha * residual
 
         residual = x
-        if self.layer_norm_position == "pre":
+        if self.layer_norm_position == "pre" and self.macaron != "paper":
+            # reference quirk kept for parity: this outer LN feeds a PFF
+            # that pre-norms again (double normalization of the final FF
+            # input, joeynmt/transformer_layers.py:558-562)
             x = self.final_layer_norm(x).astype(self.dtype)
         x = self.final_feed_forward(x, deterministic=deterministic)
-        x = 0.5 * x + residual
-        if self.layer_norm_position == "post":
+        if self.macaron == "paper":
+            # exact half-step on the FF core (PFF pre-norms internally),
+            # then the block-final LayerNorm per arXiv:2005.08100
+            x = residual + 0.5 * (x - self.alpha * residual)
             x = self.final_layer_norm(x).astype(self.dtype)
+        else:
+            x = 0.5 * x + residual
+            if self.layer_norm_position == "post":
+                x = self.final_layer_norm(x).astype(self.dtype)
         return x
 
 

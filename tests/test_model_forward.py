@@ -157,6 +157,65 @@ class TestConformer:
         assert np.all(np.isfinite(np.asarray(logits)))
 
 
+    def test_macaron_paper_mode_is_depth_stable(self):
+        """The reference conformer's macaron step is 0.5*PFF(x) + x with the
+        residual already inside PFF — the stream is amplified ~1.5x per
+        macaron FF and the encoder output grows EXPONENTIALLY with depth
+        (std ~1.4e3 at 16 flagship layers at init), which diverges within
+        200 train steps on hardware. `macaron: "paper"` (arXiv:2005.08100,
+        x + 0.5*ff_core) must stay O(1) at depth; "reference" stays the
+        default for converted-checkpoint parity."""
+        import jax
+        import jax.numpy as jnp
+
+        vocab = tiny_vocab()
+
+        def enc_std(macaron):
+            cfg = s2t_cfg()
+            cfg["encoder"].update({"type": "conformer", "num_layers": 8,
+                                   "depthwise_conv_kernel_size": 5,
+                                   "macaron": macaron})
+            model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+            params, args = init_model(model, spec, "S2T", src_len=21)
+            src, trg_input, src_length, src_mask, trg_mask = args
+            enc, _, _ = model.apply({"params": params}, src, src_length,
+                                    None, method="encode")
+            return float(jnp.std(enc))
+
+        paper = enc_std("paper")
+        reference = enc_std("reference")
+        assert paper < 3.0, paper
+        assert reference > 5 * paper, (reference, paper)
+
+    def test_macaron_paper_trains(self):
+        """One value_and_grad step through the paper-macaron conformer:
+        loss and gradients finite (the from-scratch training mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        cfg["encoder"].update({"type": "conformer", "num_layers": 2,
+                               "depthwise_conv_kernel_size": 5,
+                               "macaron": "paper"})
+        model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+        params, args = init_model(model, spec, "S2T", src_len=21)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        trg = jnp.roll(trg_input, -1, axis=1)
+
+        def loss_fn(p):
+            logits, _, _ = model.apply({"params": p}, src, trg_input,
+                                       src_length, src_mask, trg_mask,
+                                       deterministic=True)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(lp, trg[..., None], -1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        assert all(np.all(np.isfinite(np.asarray(g)))
+                   for g in jax.tree.leaves(grads))
+
+
 class TestRecurrent:
     def test_rnn_forward(self):
         vocab = tiny_vocab()
