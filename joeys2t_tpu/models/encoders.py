@@ -165,6 +165,9 @@ class ConformerEncoder(nn.Module):
     # "paper" (arXiv:2005.08100) for training from scratch — the reference
     # form diverges at depth (see modules.ConformerEncoderLayer.macaron)
     macaron: str = "reference"
+    # LayerScale init (arXiv:2103.17239) for deep from-scratch stacks;
+    # 0.0 = off (see modules.ConformerEncoderLayer.layerscale_init)
+    layerscale_init: float = 0.0
 
     @property
     def output_size(self) -> int:
@@ -181,7 +184,7 @@ class ConformerEncoder(nn.Module):
                 depthwise_conv_kernel_size=self.depthwise_conv_kernel_size,
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 conv_norm_type=self.conv_norm_type, macaron=self.macaron,
-                name=f"layer_{i}")
+                layerscale_init=self.layerscale_init, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear")

