@@ -31,14 +31,28 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_step(batch=128, n_frames=1000, trg_len=48):
+def build_step(batch=128, n_frames=1000, trg_len=48, encoder="transformer"):
     import optax
 
-    from __graft_entry__ import _build
+    from __graft_entry__ import _build, _s2t_model_cfg
     from joeys2t_tpu.losses import XentCTCLoss
     from functools import partial
 
-    model, spec = _build()
+    if encoder == "conformer":
+        # flagship conformer recipe (configs/synthetic_asr_conformer.yaml):
+        # 16L, paper macaron + layerscale 0.1, depthwise kernel 31
+        from joeys2t_tpu.config import SpecialSymbols
+        from joeys2t_tpu.models import build_model
+        from joeys2t_tpu.vocabulary import Vocabulary
+
+        cfg = _s2t_model_cfg()
+        cfg["encoder"].update(type="conformer", macaron="paper",
+                              layerscale=0.1, depthwise_conv_kernel_size=31)
+        vocab = Vocabulary([f"tok{i}" for i in range(5000)], SpecialSymbols())
+        model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab,
+                                  compute_dtype=jnp.bfloat16)
+    else:
+        model, spec = _build()
     rng = np.random.RandomState(2)
     src = jnp.asarray(rng.randn(batch, n_frames, 80).astype(np.float32))
     src_length = jnp.full((batch,), n_frames, jnp.int32)
@@ -133,10 +147,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--encoder", default="transformer",
+                    choices=["transformer", "conformer"])
     ap.add_argument("--out", default="/tmp/train_profile")
     args = ap.parse_args()
 
-    step, params, opt_state = build_step(batch=args.batch)
+    step, params, opt_state = build_step(batch=args.batch,
+                                         encoder=args.encoder)
     p, o, l = step(params, opt_state, jnp.float32(0))
     np.asarray(l)  # compile + settle
 
@@ -150,6 +167,7 @@ def main():
     total, top, cats, counts = parse_trace(Path(args.out))
     per_step = total / args.steps
     print(json.dumps({"bench": "train_profile", "batch": args.batch,
+                      "encoder": args.encoder,
                       "wall_ms_per_step": round(wall * 1e3, 1),
                       "device_busy_ms_per_step": round(per_step, 1)}))
     print(json.dumps({"categories_ms_per_step":
