@@ -35,6 +35,48 @@ def _bucket_samples(n: int) -> int:
     return _WAVE_BUCKETS[i] if i < len(_WAVE_BUCKETS) else n
 
 
+def split_at_low_energy(wave: np.ndarray, sample_rate: float,
+                        chunk_seconds: float = 20.0,
+                        search_seconds: float = 5.0,
+                        frame_ms: float = 25.0) -> List[int]:
+    """Cut points for long-audio chunking, snapped to quiet frames.
+
+    Nominal boundaries every ``chunk_seconds`` are moved to the center of
+    the minimum-RMS-energy frame within ±``search_seconds``, so chunks
+    break at pauses instead of mid-word and the per-chunk transcripts
+    concatenate cleanly. Pure host-side numpy (runs once per utterance;
+    the model compute stays on device). Returns interior cut points
+    (sample indices), excluding 0 and len(wave).
+    """
+    n = len(wave)
+    chunk = int(chunk_seconds * sample_rate)
+    if n <= chunk:
+        return []
+    frame = max(1, int(frame_ms / 1e3 * sample_rate))
+    # frame RMS energy at frame_ms resolution (trailing partial frame kept)
+    n_frames = (n + frame - 1) // frame
+    padded = np.zeros(n_frames * frame, np.float64)
+    padded[:n] = np.asarray(wave, np.float64)
+    energy = (padded.reshape(n_frames, frame) ** 2).mean(axis=1)
+    search = max(1, int(search_seconds * sample_rate) // frame)
+
+    cuts: List[int] = []
+    pos = chunk
+    # don't cut when the remaining tail is under half a chunk — a
+    # degenerate 1-2s final chunk decodes worse than absorbing it
+    while n - pos > chunk // 2:
+        center = pos // frame
+        lo = max(0, center - search)
+        hi = min(n_frames, center + search + 1)
+        best = lo + int(np.argmin(energy[lo:hi]))
+        cut = min(n - 1, best * frame + frame // 2)
+        if cuts and cut <= cuts[-1]:  # monotone guard for tiny chunks
+            cut = min(n - 1, cuts[-1] + frame)
+        cuts.append(cut)
+        pos = cut + chunk
+    return cuts
+
+
 class Transcriber:
     """Batched wav -> text with on-device feature extraction."""
 
@@ -106,6 +148,40 @@ class Transcriber:
         return self.transcribe_batch(batch, lengths,
                                      max_output_length=max_output_length,
                                      **generate_kwargs)
+
+    def transcribe_long(self, wav: Union[str, Path, np.ndarray],
+                        chunk_seconds: float = 20.0,
+                        search_seconds: float = 5.0,
+                        separator: str = " ",
+                        **generate_kwargs) -> str:
+        """Transcribe audio of arbitrary length.
+
+        The reference S2T pipeline filters/truncates long utterances at
+        ``max_length`` frames (joeynmt/tokenizers.py:477-484) — it cannot
+        transcribe a recording longer than its training window. Here the
+        waveform is split at low-energy (pause) points near every
+        ``chunk_seconds`` boundary (:func:`split_at_low_energy`), the
+        chunks are decoded as ONE batch through the on-device pipeline
+        (padded to a common bucket, so a 10-minute recording costs one
+        encoder/decoder dispatch), and the chunk transcripts are joined.
+
+        :param wav: path or int16-scaled float waveform
+        :param chunk_seconds: nominal chunk length; keep within the
+            model's trained utterance-length range
+        :param search_seconds: how far a boundary may move to find a pause
+        :return: the joined transcript
+        """
+        if isinstance(wav, (str, Path)):
+            wave, sr = read_wav(wav)
+            assert sr == self.sample_rate, (sr, self.sample_rate)
+        else:
+            wave = np.asarray(wav, np.float32)
+        cuts = split_at_low_energy(wave, self.sample_rate, chunk_seconds,
+                                   search_seconds)
+        bounds = [0] + cuts + [len(wave)]
+        chunks = [wave[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        texts = self.transcribe(chunks, **generate_kwargs)
+        return separator.join(t for t in (s.strip() for s in texts) if t)
 
     def transcribe_batch(self, waveforms, lengths,
                          max_output_length: Optional[int] = None,
