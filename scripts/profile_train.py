@@ -91,7 +91,9 @@ def build_step(batch=128, n_frames=1000, trg_len=48, encoder="transformer"):
 
 CATEGORIES = [
     ("ctc", ("while", "scan", "ctc")),       # the CTC DP scan lowers to while
-    ("flash_attn", ("custom-call", "tpu_custom_call", "flash", "pallas")),
+    ("flash_attn", ("custom-call", "tpu_custom_call", "flash", "pallas",
+                    "src_src_att", "src_trg_att", "trg_trg_att")),
+    ("convert", ("convert",)),               # before "conv": dtype casts
     ("conv", ("conv",)),
     ("matmul", ("dot", "gemm", "einsum")),
     ("copy", ("copy", "transpose", "bitcast")),
