@@ -185,11 +185,14 @@ class Transcriber:
 
     def transcribe_batch(self, waveforms, lengths,
                          max_output_length: Optional[int] = None,
+                         beam_size: int = 1, beam_alpha: float = 1.0,
                          **generate_kwargs) -> List[str]:
         """Batched fast path: ``waveforms`` is a (B, N) float32 array padded
         to a common length (host or already on device — passing a device
         array skips the host->device waveform upload), ``lengths`` the valid
-        samples per row."""
+        samples per row. ``beam_size > 1`` decodes with beam search + GNMT
+        length penalty ``beam_alpha`` (the published-WER protocol uses
+        beam 5); the default stays greedy for throughput."""
         import jax.numpy as jnp
 
         feats, frame_lengths = device_frontend(
@@ -200,9 +203,16 @@ class Transcriber:
         enc, _, enc_mask = self._encode(self.params, feats, frame_lengths)
         if max_output_length is None:
             max_output_length = int(enc.shape[1] * 1.5) + 8
-        out, _, _ = transformer_greedy(
-            self.params, self.model, self.spec, enc, enc_mask,
-            max_output_length, **generate_kwargs)
+        if beam_size > 1:
+            from joeys2t_tpu.search import beam_search
+            out, _, _ = beam_search(
+                self.params, self.model, self.spec, enc, None, enc_mask,
+                beam_size, max_output_length, alpha=beam_alpha, n_best=1,
+                **generate_kwargs)
+        else:
+            out, _, _ = transformer_greedy(
+                self.params, self.model, self.spec, enc, enc_mask,
+                max_output_length, **generate_kwargs)
 
         sents = self.trg_vocab.arrays_to_sentences(out, cut_at_eos=True)
         texts = []

@@ -121,6 +121,19 @@ def test_transcribe_long_chunks_and_joins(s2t_model_dir):
 
 
 @needs_ref
+def test_transcribe_beam(s2t_model_dir):
+    """beam_size>1 routes through beam search and still returns one
+    transcript per input."""
+    hub = load_model_dir(s2t_model_dir)
+    asr = Transcriber.from_hub(hub)
+    wavs = sorted(REF_SPEECH.rglob("*.wav"))[:2]
+    texts = asr.transcribe([w.as_posix() for w in wavs], beam_size=3,
+                           beam_alpha=1.0)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
+
+
+@needs_ref
 def test_device_features_match_host_pipeline(s2t_model_dir):
     """device_frontend (eval mode) must reproduce the host SpeechProcessor
     features (fbank + utterance CMVN) on real audio."""
