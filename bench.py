@@ -174,6 +174,35 @@ def _bench_train_step(model, spec, params, batch_size=192, n_frames=1000,
             "est_mfu_pct": round(100.0 * model_flops / elapsed / 197e12, 1)}
 
 
+def _bench_conformer_train(batch_size=64, n_frames=1000, trg_len=48):
+    """Conformer-flagship train throughput (16L paper-macaron + layerscale,
+    132M — the better-converging recipe, docs/benchmarks_s2t.md). B=64 is
+    its measured per-chip sweet spot (scripts/probe_conformer_train.py);
+    B>=96 crosses the memory knee and XLA auto-remat sets in."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _s2t_model_cfg
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.models import build_model
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary([f"tok{i}" for i in range(5000)], SpecialSymbols())
+    cfg = _s2t_model_cfg()
+    cfg["encoder"].update(type="conformer", macaron="paper", layerscale=0.1,
+                          depthwise_conv_kernel_size=31)
+    model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab,
+                              compute_dtype=jnp.bfloat16)
+    src0 = jnp.zeros((2, 16, 80), jnp.float32)
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0)}, src0, jnp.ones((2, 8), jnp.int32),
+        jnp.full((2,), 16, jnp.int32), None, jnp.ones((2, 1, 8), bool),
+        deterministic=True)["params"]
+    r = _bench_train_step(model, spec, params, batch_size=batch_size,
+                          n_frames=n_frames, trg_len=trg_len)
+    return {"conformer_" + k: v for k, v in r.items()}
+
+
 def main():
     from __graft_entry__ import _build
     from joeys2t_tpu.search import transformer_greedy
@@ -241,6 +270,11 @@ def main():
         extra.update(_bench_train_step(model, spec, params))
     except Exception as e:
         extra["train_error"] = str(e)[:200]
+        degraded = True
+    try:
+        extra.update(_bench_conformer_train())
+    except Exception as e:
+        extra["conformer_train_error"] = str(e)[:200]
         degraded = True
     try:
         extra.update(_bench_int8_greedy(params, spec, batch_size, n_frames,
