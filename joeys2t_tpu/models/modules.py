@@ -844,6 +844,13 @@ class ConformerEncoderLayer(nn.Module):
     def setup(self):
         assert self.layer_norm_position in {"pre", "post"}
         assert self.macaron in {"reference", "paper"}, self.macaron
+        if self.macaron == "paper":
+            # the half-step recovery below (0.5*(PFF(x) - alpha*x)) assumes
+            # PFF returns core + alpha*x, which is only the PRE-norm form;
+            # post-norm PFF returns LN(core + alpha*x) and the recovered
+            # "core" would be silently wrong math
+            assert self.layer_norm_position == "pre", \
+                "macaron='paper' requires layer_norm='pre'"
         if self.layerscale_init > 0.0:
             assert self.macaron == "paper", \
                 "layerscale needs macaron='paper' (separable sublayer delta)"

@@ -72,7 +72,12 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     for r in range(bb):  # static unroll over the program's batch rows
         bias = bias_ref[r, 0]  # (S,)
         for h in range(num_heads):  # static unroll; H is 4-16
-            hs = slice(h * d, (h + 1) * d)  # 128-aligned column band: free
+            # column band of the E dim: free when d % 128 == 0; at d=64
+            # Mosaic handles the half-lane offset with a relayout that
+            # still beats the per-head (B,H,S,D) kernels 2x at short S
+            # (measured on v5e: flat 0.46/3.9 ms/layer fwd / f+b vs
+            # bhsd 0.80/8.4 at B=64, S=256, E=512, H=8)
+            hs = slice(h * d, (h + 1) * d)
             qh = q_ref[r, :, hs].astype(jnp.float32) * sm_scale  # (BQ, D)
             s = jax.lax.dot_general(
                 qh, k_ref[r, :, hs].astype(jnp.float32),
@@ -440,6 +445,22 @@ def _pick_bb(b: int, bq: int, sk: int, e: int, itemsize: int,
     return 1
 
 
+def _flat_fits_bwd(sq: int, sk: int, e: int, itemsize: int) -> bool:
+    """Whether the FLAT backward kernel fits VMEM at bb=1.
+
+    Wide models (e.g. hidden 1024+ at S<=512) pass the K+V-slab check but
+    the backward's dO/O/dQ blocks + f32 dK/dV accumulators blow the
+    scoped-VMEM limit — Mosaic then fails to compile instead of falling
+    back (measured: hidden 1024/2048 fwd compiles, bwd does not). Both
+    _flash_fwd and _flash_bwd dispatch to the per-head (B, H, S, D)
+    kernels when this is False, so the residual layouts always agree."""
+    bq = _block_q(sq if sq % 128 == 0 else sq + (-sq) % 128)
+    per_row = (2 * (2 * bq + 2 * sk) * e * itemsize
+               + 2 * (3 * bq * e * itemsize + 2 * sk * e * 4))
+    scores = bq * sk * 4 * 2
+    return per_row + scores <= _VMEM_BUDGET
+
+
 def _flash_fwd(q, k, v, bias, sm_scale, num_heads, dropout_rate, seed):
     if dropout_rate > 0.0 and _interpret():
         out = _reference_attention(q, k, v, bias, sm_scale, num_heads,
@@ -448,10 +469,13 @@ def _flash_fwd(q, k, v, bias, sm_scale, num_heads, dropout_rate, seed):
     b, sq, e = q.shape
     h, d = num_heads, e // num_heads
     sk = k.shape[1]
-    if sk > LONG_S:
+    if sk > LONG_S or not _flat_fits_bwd(sq, sk, e,
+                                         jnp.dtype(q.dtype).itemsize):
         # long sequences: split heads + transpose ONCE, run the (B, H, S, D)
         # kernels — at S > 512 the per-head strided reads of a flat slab
-        # lose to a one-time layout change (measured at S=1024)
+        # lose to a one-time layout change (measured at S=1024). Wide
+        # models whose FLAT backward would not fit VMEM take the same
+        # route (see _flat_fits_bwd).
         def hd(x):
             return jnp.swapaxes(
                 x.reshape(x.shape[0], x.shape[1], h, d), 1, 2)
@@ -512,7 +536,10 @@ def _flash_bwd(sm_scale, num_heads, dropout_rate, res, do):
     b, sq, e = q.shape
     h, d = num_heads, e // num_heads
     sk = k.shape[1]
-    if sk > LONG_S:
+    if sk > LONG_S or not _flat_fits_bwd(sq, sk, e,
+                                         jnp.dtype(q.dtype).itemsize):
+        # same dispatch condition as _flash_fwd: the lse/out residuals in
+        # this branch came from the (B, H, S, D) forward kernels
         def hd(x):
             return jnp.swapaxes(
                 x.reshape(x.shape[0], x.shape[1], h, d), 1, 2)
@@ -594,12 +621,17 @@ def supported(sq: int, sk: int, d: int, dtype, num_heads: int = 4) -> bool:
     if d % 64 != 0 or d > 256:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if sk > LONG_S:
-        # K+V per-head slabs, double-buffered by Pallas: 4 * sk*d bytes
-        if 4 * sk * d * itemsize > 8 * 1024 * 1024:
+    sk_pad = sk + (-sk) % 128  # mha_flash_flat pads keys to a lane multiple
+    e = num_heads * d
+    if sk_pad <= LONG_S and _flat_fits_bwd(sq, sk_pad, e, itemsize):
+        # FLAT kernels: all-heads K+V slab per batch row
+        if 2 * sk_pad * e * itemsize > 8 * 1024 * 1024:
             return False
-    elif 2 * sk * num_heads * d * itemsize > 8 * 1024 * 1024:
-        return False
+    else:
+        # (B, H, S, D) kernels (long sources, or wide models whose flat
+        # backward exceeds VMEM): per-head slabs, double-buffered
+        if 4 * sk_pad * d * itemsize > 8 * 1024 * 1024:
+            return False
     return dtype in (jnp.float32, jnp.bfloat16)
 
 

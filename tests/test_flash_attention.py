@@ -102,6 +102,53 @@ class TestSupported:
         assert not supported(256, 256, 512, jnp.float32)  # head too large
 
 
+class TestWideModelDispatch:
+    """Wide models (hidden >= 1024 at S <= 512) pass the K+V-slab check but
+    the FLAT backward kernel exceeds VMEM (measured: hidden 1024/2048 bwd
+    fails Mosaic compilation on v5e). Both fwd and bwd must dispatch to the
+    per-head (B, H, S, D) kernels, and numerics must still match einsum."""
+
+    def test_flat_fits_bwd_predicate(self):
+        from joeys2t_tpu.ops.flash_attention import _flat_fits_bwd
+        itemsize = 2  # bf16
+        assert _flat_fits_bwd(256, 256, 512, itemsize)  # flagship: flat ok
+        assert not _flat_fits_bwd(512, 512, 1024, itemsize)  # wide: bhsd
+        assert not _flat_fits_bwd(512, 512, 2048, itemsize)
+
+    def test_wide_forward_and_grads_match_einsum(self):
+        from joeys2t_tpu.ops.flash_attention import mha_flash_flat, supported
+
+        b, s, e, h = 2, 512, 1024, 8
+        assert supported(s, s, e // h, jnp.bfloat16, num_heads=h)
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(b, s, e).astype(np.float32) * 0.2)
+        k = jnp.asarray(rng.randn(b, s, e).astype(np.float32) * 0.2)
+        v = jnp.asarray(rng.randn(b, s, e).astype(np.float32) * 0.2)
+        sm = 1.0 / np.sqrt(e // h)
+
+        def ref(q, k, v):
+            d = e // h
+            qh = q.reshape(b, s, h, d)
+            kh = k.reshape(b, s, h, d)
+            vh = v.reshape(b, s, h, d)
+            p = jax.nn.softmax(
+                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * sm, -1)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, s, e)
+
+        out = mha_flash_flat(q, k, v, h, None, sm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)),
+                                   atol=2e-5, rtol=2e-5)
+
+        g_f = jax.grad(lambda q, k, v: jnp.sum(
+            mha_flash_flat(q, k, v, h, None, sm) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(lambda q, k, v: jnp.sum(ref(q, k, v) ** 2),
+                       argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_f, g_r, "qkv"):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+
+
 class TestDropout:
     def test_deterministic_per_seed_and_grads(self, qkv):
         """In-kernel dropout: same seed -> same output; grads finite and

@@ -187,6 +187,22 @@ class TestConformer:
         assert paper < 3.0, paper
         assert reference > 5 * paper, (reference, paper)
 
+    def test_macaron_paper_rejects_post_norm(self):
+        """The paper-macaron half-step recovery assumes the PRE-norm PFF
+        form (core + alpha*x); post-norm PFF returns LN(core + alpha*x) and
+        the recovered core would be silently wrong math — the combination
+        must be rejected at build time, not trained."""
+        import pytest
+
+        vocab = tiny_vocab()
+        cfg = s2t_cfg()
+        cfg["encoder"].update({"type": "conformer", "num_layers": 2,
+                               "depthwise_conv_kernel_size": 5,
+                               "macaron": "paper", "layer_norm": "post"})
+        model, spec = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+        with pytest.raises(AssertionError, match="layer_norm='pre'"):
+            init_model(model, spec, "S2T", src_len=21)
+
     def test_macaron_paper_trains(self):
         """One value_and_grad step through the paper-macaron conformer:
         loss and gradients finite (the from-scratch training mode)."""
