@@ -79,12 +79,24 @@ class TrainConfig:
     batch_type: str = "sentence"
     batch_multiplier: int = 1
     ctc_weight: float = 0.0
+    # beyond-reference: capture an XLA profiler trace of train steps 10-20
+    # into this directory (tensorboard xplane format). Env var
+    # JOEYS2T_PROFILE_DIR overrides (training.py profile hook).
+    profile_dir: Optional[Path] = None
     # beyond-reference: tensor-parallel degree (`model` mesh axis). The
     # reference is dp-only (SURVEY.md §2.3); here the same YAML drives the
     # 2-D (data, model) mesh — Megatron-style param sharding (parallel/tp.py)
     # plus optional sequence parallelism (model.sequence_parallel) and
     # expert parallelism (MoE expert dim rides the same axis).
     model_parallel: int = 1
+    # beyond-reference: GPipe pipeline-parallel degree (`pipe` mesh axis).
+    # Stages the encoder layer stack over pipeline_parallel devices with
+    # microbatched ppermute rotation (parallel/pp.py). Mutually exclusive
+    # with model_parallel > 1 (each owns the second mesh dim).
+    pipeline_parallel: int = 1
+    # microbatches per pipeline step; 0 = auto (2 * pipeline_parallel,
+    # bubble fraction (S-1)/(M+S-1))
+    pipeline_microbatches: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +120,11 @@ class TestConfig:
     generate_unk: bool = True
     repetition_penalty: float = -1
     no_repeat_ngram_size: int = -1
+    # beyond-reference: beam self-cache reorder strategy. "auto"/"lazy" =
+    # ancestry-indexed self attention (no physical cache permute),
+    # "physical" = classic cache[select]. Env var JOEYS2T_BEAM_REORDER
+    # overrides (search.py beam_search).
+    beam_reorder: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +271,15 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
     model_parallel = int(cfg.get("model_parallel", 1))
     if model_parallel < 1:
         raise ConfigurationError("`model_parallel` must be >= 1.")
+    pipeline_parallel = int(cfg.get("pipeline_parallel", 1))
+    if pipeline_parallel < 1:
+        raise ConfigurationError("`pipeline_parallel` must be >= 1.")
+    if pipeline_parallel > 1 and model_parallel > 1:
+        raise ConfigurationError(
+            "`pipeline_parallel` and `model_parallel` are mutually exclusive.")
+    pipeline_microbatches = int(cfg.get("pipeline_microbatches", 0))
+    if pipeline_microbatches < 0:
+        raise ConfigurationError("`pipeline_microbatches` must be >= 0.")
 
     logging_freq = cfg.get("logging_freq", 100)
     validation_freq = cfg.get("validation_freq", 1000)
@@ -300,7 +326,10 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
         batch_type=batch_type,
         batch_multiplier=cfg.get("batch_multiplier", 1),
         ctc_weight=cfg.get("ctc_weight", 0.0),
+        profile_dir=_check_path(cfg.get("profile_dir", None)),
         model_parallel=model_parallel,
+        pipeline_parallel=pipeline_parallel,
+        pipeline_microbatches=pipeline_microbatches,
     )
 
 
@@ -353,6 +382,9 @@ def parse_test_args(cfg: Dict = None, mode: str = "test") -> TestConfig:
         raise ConfigurationError(
             "Repetition penalty must be > 1. (-1 indicates no repetition penalty.)")
 
+    beam_reorder = cfg.get("beam_reorder", "auto").lower()
+    _check_options("beam_reorder", beam_reorder, ["auto", "lazy", "physical"])
+
     return TestConfig(
         load_model=_check_path(cfg.get("load_model", None), allow_empty=mode == "train"),
         batch_size=batch_size,
@@ -369,6 +401,7 @@ def parse_test_args(cfg: Dict = None, mode: str = "test") -> TestConfig:
         generate_unk=cfg.get("generate_unk", True),
         repetition_penalty=repetition_penalty,
         no_repeat_ngram_size=cfg.get("no_repeat_ngram_size", -1),
+        beam_reorder=beam_reorder,
     )
 
 

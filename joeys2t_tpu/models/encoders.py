@@ -138,6 +138,38 @@ class TransformerEncoder(nn.Module):
             x = x[:, :s_orig]
         return x, None, mask_out
 
+    # ------------------------------------------------- pipeline-parallel split
+    def pre_layers(
+        self,
+        src_embed: jnp.ndarray,
+        src_length: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        src_prompt_embed: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``__call__``'s prologue up to (excluding) the layer stack. Used by
+        the GPipe pipeline path (training._loss_and_metrics_pp), which runs
+        the homogeneous layer stack via parallel.pp.pipeline_apply instead of
+        the sequential loop. No lane padding here — microbatch splitting owns
+        the shapes. Returns (x, mask)."""
+        if self.subsample:
+            src_embed, src_length = self.subsampler(src_embed, src_length)
+        if mask is None:
+            mask = lengths_to_mask(src_length, src_embed.shape[1])
+        pe = sinusoidal_pe(src_embed.shape[1],
+                           src_embed.shape[2]).astype(src_embed.dtype)
+        x = src_embed + pe[None, :, :]
+        if src_prompt_embed is not None:
+            x = x + src_prompt_embed
+        x = self.emb_dropout_layer(x, deterministic=deterministic)
+        return x.astype(self.dtype), mask
+
+    def post_layers(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``__call__``'s epilogue after the layer stack (final layer norm)."""
+        if self.layer_norm_position == "pre":
+            x = self.final_layer_norm(x).astype(self.dtype)
+        return x
+
 
 class ConformerEncoder(nn.Module):
     """Conformer encoder (joeynmt/encoders.py:376-445); always subsamples."""

@@ -97,6 +97,29 @@ class Seq2SeqModel(nn.Module):
             out_mask = src_mask
         return out, hidden, out_mask
 
+    # ------------------------------------------- pipeline-parallel encode split
+    def encode_pre_layers(
+        self,
+        src: jnp.ndarray,
+        src_length: jnp.ndarray,
+        src_mask: Optional[jnp.ndarray] = None,
+        src_prompt_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Encoder prologue (subsample/embed/PE/dropout), stopping before the
+        layer stack — the GPipe path (training._loss_and_metrics_pp) runs the
+        stack via parallel.pp.pipeline_apply. Returns (x, mask)."""
+        src_prompt_embed = None
+        if src_prompt_mask is not None and self.src_embed is not None:
+            src_prompt_embed = self.src_embed(src_prompt_mask)
+        return self.encoder.pre_layers(
+            self._embed_src(src), src_length, src_mask,
+            src_prompt_embed=src_prompt_embed, deterministic=deterministic)
+
+    def encode_post_layers(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Encoder epilogue (final layer norm) after the pipelined stack."""
+        return self.encoder.post_layers(x)
+
     # ------------------------------------------------------------------ decode
     def decode(
         self,

@@ -8,7 +8,7 @@ First-party replacement for the reference's cuDNN-backed torch.nn.CTCLoss
   - per-example negative log likelihood, no length normalization
   - ``zero_infinity``: infeasible alignments (input too short for the target)
     contribute 0 loss and 0 gradient
-Validated against torch.nn.CTCLoss in tests/test_ctc.py.
+Validated against torch.nn.CTCLoss in tests/test_loss.py (TestCTC*).
 """
 from functools import partial
 

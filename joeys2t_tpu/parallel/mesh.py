@@ -107,12 +107,25 @@ def local_param_view(tree):
     return jax.tree.map(f, tree)
 
 
-def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> MeshContext:
-    """Build a (data, model) mesh over the available devices."""
+def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+             pipeline_parallel: int = 1) -> MeshContext:
+    """Build a (data, model) mesh — or (data, pipe) when pipeline_parallel
+    > 1 — over the available devices. Tensor and pipeline parallelism are
+    mutually exclusive for now (each owns the second mesh dim)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    if pipeline_parallel > 1:
+        assert model_parallel == 1, (
+            "model_parallel and pipeline_parallel are mutually exclusive")
+        assert n % pipeline_parallel == 0, (n, pipeline_parallel)
+        dp = n // pipeline_parallel
+        dev_array = np.asarray(devices).reshape(dp, pipeline_parallel)
+        mesh = Mesh(dev_array, axis_names=("data", "pipe"))
+        logger.info("Device mesh: data=%d, pipe=%d (%s)", dp,
+                    pipeline_parallel, devices[0].platform)
+        return MeshContext(mesh=mesh)
     assert n % model_parallel == 0, (n, model_parallel)
     dp = n // model_parallel
     dev_array = np.asarray(devices).reshape(dp, model_parallel)

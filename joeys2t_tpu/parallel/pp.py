@@ -41,19 +41,29 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     *aux,
+    rng=None,
+    batch_axis=None,
 ):
     """Run ``layer_fn`` for each of the L stacked layers, pipelined over the
     ``axis`` dimension of ``mesh``.
 
     :param layer_fn: ``layer_fn(params_one_layer, x, *aux) -> x`` — one
-        transformer layer; must preserve x's shape.
+        transformer layer; must preserve x's shape. When ``rng`` is given the
+        signature is ``layer_fn(params_one_layer, x, *aux, rng) -> x``.
     :param stacked_params: pytree with leading layer axis L; L must divide
         evenly into mesh.shape[axis] stages (layers_per_stage = L // S).
     :param x: global input batch; dim 0 must divide n_microbatches.
     :param aux: extra arguments (e.g. the padding mask). Arrays whose dim 0
         equals the global batch are split into microbatches and indexed with
         the stage's in-flight microbatch; anything else is broadcast.
-    :return: output with x's shape, replicated over ``axis``.
+    :param rng: optional PRNG key threaded to every layer call, folded with
+        (stage, microbatch, layer-in-stage) so dropout masks are independent
+        across layers and microbatches.
+    :param batch_axis: optional mesh axis name the batch dim is sharded over
+        (composes pipeline with data parallelism: each ``batch_axis`` group
+        pipelines its own batch shard over its ``axis`` peers).
+    :return: output with x's shape, replicated over ``axis`` (and sharded
+        over ``batch_axis`` like the input when given).
     """
     n_stages = mesh.shape[axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -77,13 +87,21 @@ def pipeline_apply(
 
     param_specs = jax.tree.map(lambda _: P(axis), grouped)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    # batch dim is axis 1 after the microbatch reshape
+    batched_spec = P(None, batch_axis)
+    aux_specs = tuple(batched_spec if split else P() for split in aux_is_batched)
+    has_rng = rng is not None
+    rng_args = (rng,) if has_rng else ()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(param_specs, P()) + tuple(P() for _ in aux),
-        out_specs=P(),
+        in_specs=(param_specs, batched_spec) + aux_specs
+        + ((P(),) if has_rng else ()),
+        out_specs=batched_spec,
     )
     def run(grouped_local, micro_all, *aux_all):
+        if has_rng:
+            *aux_all, rng_local = aux_all
         # grouped_local: (1, L/S, ...) — this device's stage parameters
         stage_params = jax.tree.map(lambda a: a[0], grouped_local)
         stage = jax.lax.axis_index(axis)
@@ -92,6 +110,20 @@ def pipeline_apply(
             aux_mb = tuple(
                 a[mb_idx] if split else a
                 for a, split in zip(aux_all, aux_is_batched))
+
+            if has_rng:
+                r = jax.random.fold_in(
+                    jax.random.fold_in(rng_local, stage), mb_idx)
+
+                def body(h, pl_li):
+                    pl, li = pl_li
+                    return layer_fn(pl, h, *aux_mb,
+                                    jax.random.fold_in(r, li)), None
+
+                out, _ = jax.lax.scan(
+                    body, xin,
+                    (stage_params, jnp.arange(layers_per_stage)))
+                return out
 
             def body(h, pl):
                 return layer_fn(pl, h, *aux_mb), None
@@ -135,5 +167,5 @@ def pipeline_apply(
 
     shardings = jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), grouped)
     with mesh:
-        out = run(jax.device_put(grouped, shardings), micro, *aux)
+        out = run(jax.device_put(grouped, shardings), micro, *aux, *rng_args)
     return out.reshape(x.shape)

@@ -279,7 +279,8 @@ def predict(
                 return_attention=args.return_attention,
                 return_prob=args.return_prob, generate_unk=args.generate_unk,
                 repetition_penalty=args.repetition_penalty,
-                no_repeat_ngram_size=args.no_repeat_ngram_size)
+                no_repeat_ngram_size=args.no_repeat_ngram_size,
+                beam_reorder=getattr(args, "beam_reorder", "auto"))
 
         batch_size = len(sort_reverse_index)
         all_outputs.extend(np.asarray(output)[sort_reverse_index])

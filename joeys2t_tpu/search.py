@@ -719,10 +719,14 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
 
     # beam-reorder strategy: "lazy" = ancestry-indexed self attention (no
     # physical cache permute; modules.step_self_ancestry), "physical" =
-    # classic cache[select]. Override via JOEYS2T_BEAM_REORDER. int8 self
-    # caches always use the physical path (ancestry supports bf16/f32).
+    # classic cache[select]. Configured via `testing: beam_reorder:` in the
+    # YAML (config.TestConfig), env var JOEYS2T_BEAM_REORDER overrides.
+    # int8 self caches always use the physical path (ancestry supports
+    # bf16/f32); cross-int8 composes with lazy reorder because the beam
+    # reorder never touches cross caches.
     import os
-    mode = os.environ.get("JOEYS2T_BEAM_REORDER", "auto")
+    mode = os.environ.get("JOEYS2T_BEAM_REORDER",
+                          kwargs.get("beam_reorder", "auto"))
     lazy_reorder = (mode == "lazy" or mode == "auto") \
         and not getattr(model.decoder, "cache_self_int8", False) \
         and not isinstance(model.decoder, RecurrentDecoder)
@@ -813,6 +817,7 @@ def search(params, model, spec, batch: Batch, max_output_length: int,
         kwargs["trg_prompt_mask"] = batch.trg_prompt_mask
 
     if beam_size < 2:
+        kwargs.pop("beam_reorder", None)  # beam-only knob
         stacked_output, stacked_scores, stacked_attention = greedy(
             params, model, spec, encoder_output, encoder_hidden, src_mask,
             max_output_length, **kwargs)

@@ -164,16 +164,21 @@ class TrainManager:
         if mesh is not None:
             self.mesh = mesh
         else:
-            # 2-D (data, model) mesh straight from the YAML `training:
-            # model_parallel` knob (beyond-reference; the torch original is
-            # dp-only, joeynmt/helpers_for_ddp.py)
+            # 2-D (data, model) or (data, pipe) mesh straight from the YAML
+            # `training: model_parallel` / `pipeline_parallel` knobs
+            # (beyond-reference; the torch original is dp-only,
+            # joeynmt/helpers_for_ddp.py)
             mp = getattr(self.args, "model_parallel", 1) or 1
-            if jax.device_count() % mp != 0:
+            pp = getattr(self.args, "pipeline_parallel", 1) or 1
+            if jax.device_count() % (mp * pp) != 0:
                 raise ConfigurationError(
-                    f"model_parallel={mp} does not divide the "
-                    f"{jax.device_count()} available devices.")
-            self.mesh = get_mesh(model_parallel=mp)
+                    f"model_parallel={mp} * pipeline_parallel={pp} does not "
+                    f"divide the {jax.device_count()} available devices.")
+            self.mesh = get_mesh(model_parallel=mp, pipeline_parallel=pp)
         self._tp = self.mesh.mesh.shape.get("model", 1) > 1
+        self._pp = self.mesh.mesh.shape.get("pipe", 1) > 1
+        if self._pp:
+            self._init_pipeline(model)
         # rank-0-only artifact writes (ckpts, validations.txt, hyps, plots,
         # tensorboard) — the reference's `rank == 0` gating
         # (joeynmt/training.py:149-218, :687-702)
@@ -269,9 +274,77 @@ class TrainManager:
             if isinstance(t, jax.Array) else s, template, opt_state)
         return placed
 
+    # ----------------------------------------------------- pipeline parallel
+    def _init_pipeline(self, model) -> None:
+        """Validate + prepare the GPipe path (`training: pipeline_parallel`).
+
+        The encoder layer stack is staged over the `pipe` mesh axis
+        (parallel/pp.pipeline_apply); prologue (subsampler/PE/dropout),
+        final norm, decoder and loss stay data-parallel — the encoder stack
+        is where the depth (and for S2T, 4x the sequence length) lives."""
+        from joeys2t_tpu.models.encoders import TransformerEncoder
+        from joeys2t_tpu.models.modules import TransformerEncoderLayer
+
+        enc = model.encoder
+        n_stages = self.mesh.mesh.shape["pipe"]
+        if not isinstance(enc, TransformerEncoder):
+            raise ConfigurationError(
+                "pipeline_parallel currently supports transformer encoders "
+                f"only (got {type(enc).__name__}).")
+        if getattr(enc, "num_experts", 0):
+            raise ConfigurationError(
+                "pipeline_parallel does not compose with MoE encoders yet.")
+        if enc.num_layers % n_stages != 0:
+            raise ConfigurationError(
+                f"encoder num_layers={enc.num_layers} must be divisible by "
+                f"pipeline_parallel={n_stages}.")
+        m = getattr(self.args, "pipeline_microbatches", 0) or 0
+        self._pp_microbatches = m if m > 0 else 2 * n_stages
+        # standalone layer module, applied per-stage with the per-layer
+        # param subtrees (params.encoder.layer_i) stacked over `pipe`
+        self._pp_layer = TransformerEncoderLayer(
+            size=enc.hidden_size, ff_size=enc.ff_size,
+            num_heads=enc.num_heads, dropout=enc.dropout, alpha=enc.alpha,
+            layer_norm_position=enc.layer_norm_position,
+            activation=enc.activation, dtype=enc.dtype,
+            attn_impl=enc.attn_impl)
+
+    def _loss_and_metrics_pp(self, params, batch, dropout_rng, normalizer):
+        """GPipe variant of _loss_and_metrics: identical math, with the
+        encoder layer stack run by parallel.pp.pipeline_apply over `pipe`."""
+        from joeys2t_tpu.parallel.pp import pipeline_apply, stack_layer_params
+
+        model = self.model
+        r_pre, r_layers, r_dec = jax.random.split(dropout_rng, 3)
+        x, mask = model.apply(
+            {"params": params}, batch["src"], batch["src_length"],
+            batch["src_mask"], src_prompt_mask=batch["src_prompt_mask"],
+            deterministic=False, rngs={"dropout": r_pre},
+            method="encode_pre_layers")
+        n_layers = model.encoder.num_layers
+        stacked = stack_layer_params(
+            [params["encoder"][f"layer_{i}"] for i in range(n_layers)])
+        layer = self._pp_layer
+
+        def layer_fn(p, h, m, rng):
+            return layer.apply({"params": p}, h, m, False,
+                               rngs={"dropout": rng})
+
+        x = pipeline_apply(layer_fn, stacked, x, self._pp_microbatches,
+                           self.mesh.mesh, "pipe", mask, rng=r_layers,
+                           batch_axis="data")
+        enc_out = model.apply({"params": params}, x,
+                              method="encode_post_layers")
+        logits, _, _, _, ctc_logits = model.apply(
+            {"params": params}, batch["trg_input"], enc_out, mask,
+            batch["trg_mask"], trg_prompt_mask=batch["trg_prompt_mask"],
+            deterministic=False, rngs={"dropout": r_dec}, method="decode")
+        return self._finish_loss(logits, ctc_logits, mask, batch, normalizer,
+                                 aux=jnp.zeros(()))
+
     # -------------------------------------------------------------- jit steps
     def _loss_and_metrics(self, params, batch, dropout_rng, normalizer):
-        model, loss_fn = self.model, self.loss_fn
+        model = self.model
         (logits, ctc_logits, out_mask), mutated = model.apply(
             {"params": params}, batch["src"], batch["trg_input"],
             batch["src_length"], batch["src_mask"], batch["trg_mask"],
@@ -283,6 +356,12 @@ class TrainManager:
         # coefficient 0.01 per arXiv:2101.03961 §2.2); empty for dense models
         aux = sum(jnp.sum(jnp.asarray(v))
                   for v in jax.tree.leaves(mutated.get("aux_loss", {})))
+        return self._finish_loss(logits, ctc_logits, out_mask, batch,
+                                 normalizer, aux)
+
+    def _finish_loss(self, logits, ctc_logits, out_mask, batch, normalizer,
+                     aux):
+        loss_fn = self.loss_fn
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         kwargs = dict(trg=batch["trg"])
         if loss_fn.require_ctc_layer and ctc_logits is not None:
@@ -306,6 +385,12 @@ class TrainManager:
                    ctc / normalizer / self.args.batch_multiplier, n_correct)
         return norm, metrics
 
+    @property
+    def _loss_impl(self):
+        """The training loss path: GPipe-pipelined when `pipe` is in the
+        mesh, the plain dense/MoE forward otherwise."""
+        return self._loss_and_metrics_pp if self._pp else self._loss_and_metrics
+
     def _make_train_step(self):
         # params/opt_state are replaced by the returned trees every step, so
         # their input buffers are donated — XLA updates ~3x param-size state
@@ -313,8 +398,8 @@ class TrainManager:
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, dropout_rng, batch, normalizer):
             (_, metrics), grads = jax.value_and_grad(
-                self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
-                                                      normalizer)
+                self._loss_impl, has_aux=True)(params, batch, dropout_rng,
+                                               normalizer)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -327,8 +412,8 @@ class TrainManager:
         @partial(jax.jit, donate_argnums=(1,))
         def accum_step(params, accum, dropout_rng, batch, normalizer):
             (_, metrics), grads = jax.value_and_grad(
-                self._loss_and_metrics, has_aux=True)(params, batch, dropout_rng,
-                                                      normalizer)
+                self._loss_impl, has_aux=True)(params, batch, dropout_rng,
+                                               normalizer)
             accum = jax.tree.map(jnp.add, accum, grads)
             return accum, metrics
 
@@ -434,12 +519,15 @@ class TrainManager:
         if self.scheduler is not None and self.scheduler_step_at == "step":
             set_learning_rate(self._inner_opt_state(), self.scheduler.step(0))
 
-        # optional profiling: JOEYS2T_PROFILE_DIR=/path captures an
+        # optional profiling: `training: profile_dir:` in the YAML (or env
+        # var JOEYS2T_PROFILE_DIR, which overrides) captures an
         # xplane/perfetto trace of steps 10..20 (SURVEY.md §5.1 upgrade —
         # the reference only logs wall-clock tokens/sec)
         import os
 
-        profile_dir = os.environ.get("JOEYS2T_PROFILE_DIR")
+        profile_dir = os.environ.get("JOEYS2T_PROFILE_DIR") or (
+            str(self.args.profile_dir)
+            if getattr(self.args, "profile_dir", None) else None)
         profile_window = (10, 20) if profile_dir else None
 
         epoch_no = self.stats.epochs

@@ -59,6 +59,11 @@ class TestTrainArgs:
         with pytest.raises(ConfigurationError):
             parse_train_args(self.base(early_stopping_metric="rouge"))
 
+    def test_profile_dir_knob(self, tmp_path):
+        assert parse_train_args(self.base()).profile_dir is None
+        args = parse_train_args(self.base(profile_dir=tmp_path.as_posix()))
+        assert args.profile_dir == tmp_path
+
 
 class TestTestArgs:
     def test_defaults(self):
@@ -92,6 +97,13 @@ class TestTestArgs:
     def test_repetition_penalty_range(self):
         with pytest.raises(ConfigurationError):
             parse_test_args({"repetition_penalty": 0.5}, mode="train")
+
+    def test_beam_reorder_knob(self):
+        assert parse_test_args({}, mode="train").beam_reorder == "auto"
+        args = parse_test_args({"beam_reorder": "PHYSICAL"}, mode="train")
+        assert args.beam_reorder == "physical"
+        with pytest.raises(ConfigurationError):
+            parse_test_args({"beam_reorder": "eager"}, mode="train")
 
     def test_validation_overrides(self):
         args = parse_test_args({"beam_size": 5, "n_best": 3,

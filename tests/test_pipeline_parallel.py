@@ -63,6 +63,94 @@ def test_pipeline_microbatch_counts():
                                    atol=1e-5, err_msg=f"m={m}")
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_train_manager_pipeline_parallel_from_config(tmp_path):
+    """`training: pipeline_parallel: 2` in the YAML drives a real
+    (data=4, pipe=2) mesh through the production TrainManager: the encoder
+    layer stack is staged over `pipe` (GPipe microbatching), the jitted
+    step + greedy validation run, and loss/grads match the dp-only run."""
+    import sys
+    from pathlib import Path as P_
+
+    import yaml
+
+    sys.path.insert(0, str(P_(__file__).parent.parent / "scripts"))
+    from generate_reverse_task import generate_samples
+
+    from joeys2t_tpu.config import parse_global_args, set_validation_args
+    from joeys2t_tpu.helpers import make_model_dir
+    from joeys2t_tpu.parallel.mesh import set_default_mesh
+    from joeys2t_tpu.prediction import prepare
+    from joeys2t_tpu.training import TrainManager
+
+    repo = P_(__file__).parent.parent
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for split, n, seed in [("train", 64, 1), ("dev", 8, 2), ("test", 8, 3)]:
+        src, trg = generate_samples(n, high=10, min_len=3, max_len=8, seed=seed)
+        (data_dir / f"{split}.src").write_text("\n".join(src) + "\n")
+        (data_dir / f"{split}.trg").write_text("\n".join(trg) + "\n")
+
+    base = yaml.safe_load(open(repo / "configs/transformer_reverse.yaml"))
+    base["data"].update(
+        train=(data_dir / "train").as_posix(), dev=(data_dir / "dev").as_posix(),
+        test=(data_dir / "test").as_posix(), sample_train_subset=-1,
+        sample_dev_subset=-1)
+    base["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+                            batch_size=16, batch_multiplier=1,
+                            keep_best_ckpts=1)
+    base["model"]["attention_impl"] = "xla"
+    for side in ("encoder", "decoder"):
+        base["model"][side].update(num_layers=2, num_heads=2, hidden_size=16,
+                                   ff_size=32, dropout=0.0)
+        base["model"][side]["embeddings"]["embedding_dim"] = 16
+
+    def run(pp):
+        import copy
+
+        cfg = copy.deepcopy(base)
+        cfg["model_dir"] = (tmp_path / f"model_pp{pp}").as_posix()
+        cfg["training"]["pipeline_parallel"] = pp
+        make_model_dir(P_(cfg["model_dir"]))
+        args = parse_global_args(cfg, rank=0, mode="train")
+        assert args.train.pipeline_parallel == pp  # YAML -> TrainConfig
+        model, spec, params, loss_fn, train_data, dev_data, _ = prepare(
+            args, rank=0, mode="train")
+        trainer = TrainManager(
+            model=model, spec=spec, params=params, loss_fn=loss_fn,
+            model_dir=args.model_dir, task=args.task, seed=args.seed,
+            train_args=args.train, dev_args=set_validation_args(args.test),
+            num_workers=0, model_cfg=args.model)
+        assert trainer.mesh.mesh.shape.get("pipe", 1) == pp
+        assert trainer._pp == (pp > 1)
+        # loss + grads of one real batch through the trainer's own loss path
+        # (pipelined vs sequential must only differ by float reassociation)
+        it, _ = train_data.make_iter(
+            batch_size=16, batch_type="sentence", seed=7, shuffle=False,
+            num_workers=0, eos_index=spec.eos_index, pad_index=spec.pad_index,
+            return_sampler=True)
+        probe_batch = next(iter(it))
+        _, _, arrays, norm = trainer._prepare_batch(probe_batch)
+        (loss, _), grads = jax.jit(jax.value_and_grad(
+            trainer._loss_impl, has_aux=True))(
+                trainer.params, arrays, jax.random.PRNGKey(0), norm)
+        loss = float(loss)
+        grads = jax.tree.map(np.asarray, grads)
+
+        trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
+        assert trainer.stats.steps > 0
+        steps = trainer.stats.steps
+        set_default_mesh(None)
+        return steps, loss, grads
+
+    steps_pp, loss_pp, g_pp = run(2)
+    steps_dp, loss_dp, g_dp = run(1)
+    assert steps_pp == steps_dp
+    np.testing.assert_allclose(loss_pp, loss_dp, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
 def test_pipeline_gradients_match():
     """The GPipe backward schedule falls out of autodiff through ppermute."""
     _, layer_fn, per_layer, x, mask = make_stack()
