@@ -65,10 +65,9 @@ def section_greedy():
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
     src_length = jnp.full((batch_size,), n_frames, jnp.int32)
-    params = jax.jit(model.init, static_argnames=("deterministic",))(
-        {"params": jax.random.PRNGKey(0)}, src,
-        jnp.ones((batch_size, 8), jnp.int32), src_length, None,
-        jnp.ones((batch_size, 1, 8), bool), deterministic=True)["params"]
+    # params are batch-independent: init on a tiny batch (a B=1024 init
+    # graph is a minutes-long pointless compile through the remote relay)
+    params = _init_flagship_params(model)
 
     @jax.jit
     def encode(params, src, src_length):
@@ -123,10 +122,7 @@ def section_beam(batch_size=32, n_frames=1000, beam_size=5,
     rng = np.random.RandomState(1)
     src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
     src_length = jnp.full((batch_size,), n_frames, jnp.int32)
-    params = jax.jit(model.init, static_argnames=("deterministic",))(
-        {"params": jax.random.PRNGKey(0)}, src,
-        jnp.ones((batch_size, 8), jnp.int32), src_length, None,
-        jnp.ones((batch_size, 1, 8), bool), deterministic=True)["params"]
+    params = _init_flagship_params(model)
 
     @jax.jit
     def encode(params, src, src_length):

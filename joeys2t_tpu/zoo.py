@@ -21,21 +21,32 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 BASE_URL = "https://www.cl.uni-heidelberg.de/statnlpgroup/joeynmt2"
+HF_ORG = "may-ohta"  # reference hubconf.py:93 snapshot_download repo owner
 
-# name -> (archive name, checkpoint file inside the snapshot)
+# name -> (snapshot base name, checkpoint file, cfg file, primary source).
+# Base names, ckpt/cfg file names and per-entry primary source mirror the
+# reference hubconf.py:110-290 (iwslt14_prompt is huggingface-first there,
+# everything else Heidelberg-URL-first); the other source is the fallback.
 ENTRIES = {
-    "iwslt14_prompt": ("iwslt14_prompt.tar.gz", "best.ckpt"),
-    "transformer_iwslt14_deen_bpe": ("transformer_iwslt14_deen_bpe.tar.gz", "best.ckpt"),
-    "rnn_iwslt14_deen_bpe": ("rnn_iwslt14_deen_bpe.tar.gz", "best.ckpt"),
-    "wmt14_deen": ("wmt14_deen.tar.gz", "best.ckpt"),
-    "wmt14_ende": ("wmt14_ende.tar.gz", "best.ckpt"),
-    "jparacrawl_jaen": ("jparacrawl_jaen.tar.gz", "best.ckpt"),
-    "jparacrawl_enja": ("jparacrawl_enja.tar.gz", "best.ckpt"),
-    "librispeech_960h_en_asr": ("librispeech960h.tar.gz", "avg10.ckpt"),
-    "librispeech_100h_en_asr": ("librispeech100h.tar.gz", "avg5.ckpt"),
-    "mustc_v2_en_asr": ("mustc_asr.tar.gz", "avg5.ckpt"),
-    "mustc_v2_ende_mt": ("mustc_mt.tar.gz", "avg5.ckpt"),
-    "mustc_v2_ende_st": ("mustc_st.tar.gz", "avg5.ckpt"),
+    "iwslt14_prompt": ("iwslt14_prompt", "avg5.ckpt", "config.yaml", "hf"),
+    "transformer_iwslt14_deen_bpe": (
+        "transformer_iwslt14_deen_bpe", "best.ckpt", "config_v2.3.yaml",
+        "remote"),
+    "rnn_iwslt14_deen_bpe": (
+        "rnn_iwslt14_deen_bpe", "best.ckpt", "config_v2.3.yaml", "remote"),
+    "wmt14_deen": ("wmt14_deen", "avg5.ckpt", "config.yaml", "remote"),
+    "wmt14_ende": ("wmt14_ende", "avg5.ckpt", "config.yaml", "remote"),
+    "jparacrawl_jaen": ("jparacrawl_jaen", "avg5.ckpt", "config.yaml",
+                        "remote"),
+    "jparacrawl_enja": ("jparacrawl_enja", "avg5.ckpt", "config.yaml",
+                        "remote"),
+    "librispeech_960h_en_asr": ("librispeech960h", "avg10.ckpt",
+                                "config.yaml", "remote"),
+    "librispeech_100h_en_asr": ("librispeech100h", "avg10.ckpt",
+                                "config.yaml", "remote"),
+    "mustc_v2_en_asr": ("mustc_asr", "avg10.ckpt", "config.yaml", "remote"),
+    "mustc_v2_ende_mt": ("mustc_mt", "avg5.ckpt", "config.yaml", "remote"),
+    "mustc_v2_ende_st": ("mustc_st", "avg10.ckpt", "config.yaml", "remote"),
 }
 
 
@@ -46,24 +57,52 @@ def _cache_dir() -> Path:
 
 
 def _download_and_extract(name: str) -> Path:
-    """Download + extract a zoo archive (joeynmt/hubconf.py:41-107)."""
-    archive, _ = ENTRIES[name]
+    """Materialize the snapshot dir for a zoo entry, attempting the entry's
+    primary source first and the other as fallback (reference
+    hubconf.py:41-107 `_download_and_extract` + :80-107
+    `_load_from_huggingface`): Heidelberg URL tarball <-> huggingface-hub
+    snapshot (repo ``may-ohta/<base>``)."""
+    base, _, _, primary = ENTRIES[name]
     target = _cache_dir() / name
     if target.is_dir() and any(target.iterdir()):
         return target
 
+    sources = (("hf", "remote") if primary == "hf" else ("remote", "hf"))
+    errors = []
+    for source in sources:
+        fetch = (_fetch_remote_tarball if source == "remote"
+                 else _fetch_hf_snapshot)
+        try:
+            fetch(base, target)
+            return target
+        except Exception as e:  # noqa: BLE001 — collect, try next source
+            errors.append(f"{source}: {e}")
+            logger.warning("zoo source %s failed for %s: %s", source, name, e)
+    raise RuntimeError(
+        f"Could not fetch '{name}' from any source ({'; '.join(errors)}). "
+        f"In offline environments, place the extracted snapshot at {target} "
+        f"manually, or use load('local', model_dir=...).")
+
+
+def _fetch_hf_snapshot(base: str, target: Path) -> None:
+    """huggingface_hub.snapshot_download into the cache dir (reference
+    hubconf.py:91-97)."""
+    from huggingface_hub import snapshot_download
+
+    snapshot_download(repo_id=f"{HF_ORG}/{base}", local_dir=target)
+    assert target.is_dir() and any(target.iterdir()), target
+
+
+def _fetch_remote_tarball(base: str, target: Path) -> None:
+    """Heidelberg-URL tarball download + safe extraction."""
+    name = target.name
+    archive = f"{base}.tar.gz"
     url = f"{BASE_URL}/{archive}"
     tar_path = _cache_dir() / archive
     logger.info("Downloading %s ...", url)
     import urllib.request
 
-    try:
-        urllib.request.urlretrieve(url, tar_path.as_posix())
-    except Exception as e:
-        raise RuntimeError(
-            f"Could not download {url} ({e}). In offline environments, place "
-            f"the extracted snapshot at {target} manually, or use "
-            f"load('local', model_dir=...).") from e
+    urllib.request.urlretrieve(url, tar_path.as_posix())
 
     tmp = _cache_dir() / f"_extract_{name}"
     with tarfile.open(tar_path) as tar:
@@ -90,7 +129,6 @@ def _download_and_extract(name: str) -> Path:
     shutil.move(inner.as_posix(), target.as_posix())
     shutil.rmtree(tmp, ignore_errors=True)
     tar_path.unlink(missing_ok=True)
-    return target
 
 
 def _ensure_native_ckpt(model_dir: Path, ckpt_name: str) -> None:
@@ -143,6 +181,7 @@ def load(name: str, model_dir: Optional[str] = None,
             f"Unknown model {name}. Available: {sorted(ENTRIES)} or 'local'."
         snapshot = _download_and_extract(name)
         _ensure_native_ckpt(snapshot, ENTRIES[name][1])
+        kwargs.setdefault("cfg_file", ENTRIES[name][2])
     return load_model_dir(snapshot, **kwargs)
 
 

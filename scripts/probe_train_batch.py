@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from __graft_entry__ import _build, _s2t_model_cfg
-from bench import _bench_train_step
+from bench import _train_step_throughput
 from joeys2t_tpu.config import SpecialSymbols
 from joeys2t_tpu.models import build_model
 from joeys2t_tpu.vocabulary import Vocabulary
@@ -52,7 +52,7 @@ def main():
         for remat in (False, True):
             m, _ = build(remat)
             try:
-                r = _bench_train_step(m, spec, params, batch_size=bs)
+                r = _train_step_throughput(m, spec, params, batch_size=bs)
                 print(f"B={bs} remat={remat}: {r}", flush=True)
             except Exception as e:
                 print(f"B={bs} remat={remat}: FAILED {str(e)[:160]}",

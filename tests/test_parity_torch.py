@@ -275,12 +275,13 @@ def test_convert_roundtrip(ref_modules):
         np.testing.assert_array_equal(np.asarray(value), b_map[key])
 
 
-@needs_ref
-def test_zoo_local_loads_torch_snapshot(ref_modules, tmp_path):
-    """The published-model flow end to end: a snapshot dir containing a
-    torch-format checkpoint + config + vocab loads through zoo.load('local'),
-    converting the checkpoint in place, and generate() decodes
-    (joeynmt/hubconf.py 'local' + hub_interface semantics)."""
+def _make_torch_snapshot(snap, ckpt_name="best.ckpt",
+                         cfg_name="config.yaml", stale_paths=False):
+    """Build a published-snapshot-format dir (torch ckpt + config + vocabs)
+    with the reference's own build_model — the fixture for the zoo tests.
+    ``stale_paths=True`` mimics real published archives, whose configs keep
+    the publisher's absolute paths (hub_interface._check_file_path rewrites
+    them into the snapshot dir)."""
     from types import SimpleNamespace
 
     import yaml
@@ -301,37 +302,49 @@ def test_zoo_local_loads_torch_snapshot(ref_modules, tmp_path):
     torch.manual_seed(0)
     tmodel = torch_build(model_cfg, src_vocab=tvocab, trg_vocab=tvocab)
 
-    snap = tmp_path / "snapshot"
-    snap.mkdir()
-    torch.save({"model_state": tmodel.state_dict()}, snap / "best.ckpt")
+    snap.mkdir(parents=True, exist_ok=True)
+    torch.save({"model_state": tmodel.state_dict()}, snap / ckpt_name)
     vocab_lines = ["<unk>", "<pad>", "<s>", "</s>"] + tokens
     (snap / "src_vocab.txt").write_text("\n".join(vocab_lines) + "\n")
     (snap / "trg_vocab.txt").write_text("\n".join(vocab_lines) + "\n")
+    cfg_base = (Path("/home/publisher/models") / snap.name if stale_paths
+                else snap)
     cfg = {
-        "name": "zoo-local", "task": "MT", "model_dir": snap.as_posix(),
+        "name": "zoo-local", "task": "MT",
+        "model_dir": cfg_base.as_posix(),
         "data": {
             "dataset_type": "plain",
             # published snapshots keep their original (non-existent) train
             # path strings; translate mode never reads them
             "train": "dummy/train",
             "src": {"lang": "src", "level": "word", "lowercase": False,
-                    "voc_file": (snap / "src_vocab.txt").as_posix()},
+                    "voc_file": (cfg_base / "src_vocab.txt").as_posix()},
             "trg": {"lang": "trg", "level": "word", "lowercase": False,
-                    "voc_file": (snap / "trg_vocab.txt").as_posix()},
+                    "voc_file": (cfg_base / "trg_vocab.txt").as_posix()},
             "special_symbols": {
                 "unk_token": "<unk>", "unk_id": 0, "pad_token": "<pad>",
                 "pad_id": 1, "bos_token": "<s>", "bos_id": 2,
                 "eos_token": "</s>", "eos_id": 3},
         },
-        "testing": {"load_model": (snap / "best.ckpt").as_posix(),
+        "testing": {"load_model": (cfg_base / ckpt_name).as_posix(),
                     "beam_size": 1, "batch_size": 2,
                     "max_output_length": 10},
         "training": {"optimizer": "adam", "learning_rate": 1e-4,
                      "batch_size": 2},
         "model": model_cfg,
     }
-    with (snap / "config.yaml").open("w") as f:
+    with (snap / cfg_name).open("w") as f:
         yaml.safe_dump(cfg, f)
+    return snap
+
+
+@needs_ref
+def test_zoo_local_loads_torch_snapshot(ref_modules, tmp_path):
+    """The published-model flow end to end: a snapshot dir containing a
+    torch-format checkpoint + config + vocab loads through zoo.load('local'),
+    converting the checkpoint in place, and generate() decodes
+    (joeynmt/hubconf.py 'local' + hub_interface semantics)."""
+    snap = _make_torch_snapshot(tmp_path / "snapshot")
 
     from joeys2t_tpu.zoo import load
 
@@ -356,6 +369,96 @@ def _leaves(tree):
             yield from _leaves(v)
         else:
             yield v
+
+
+@needs_ref
+def test_zoo_download_extract_convert_chain(ref_modules, tmp_path,
+                                            monkeypatch):
+    """The full named-entry flow with the transport mocked: URL tarball
+    download -> safe extraction -> in-place torch->native checkpoint
+    conversion -> generate(), via zoo.load('wmt14_deen')
+    (joeynmt/hubconf.py:41-77 _download_and_extract/_load_from_remote)."""
+    import tarfile
+    import urllib.request
+
+    from joeys2t_tpu import zoo
+
+    # real-format archive: one top-level dir, torch ckpt named as published
+    snap = _make_torch_snapshot(tmp_path / "wmt14_deen",
+                                ckpt_name="avg5.ckpt", stale_paths=True)
+    archive = tmp_path / "wmt14_deen.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(snap, arcname="wmt14_deen")
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setattr(zoo, "_cache_dir", lambda: cache)
+    fetched = []
+
+    def fake_urlretrieve(url, filename):
+        fetched.append(url)
+        import shutil as _sh
+
+        _sh.copy(archive, filename)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+
+    hub = zoo.load("wmt14_deen")
+    assert fetched == [f"{zoo.BASE_URL}/wmt14_deen.tar.gz"]
+    out = hub.generate(["3 5 7"])
+    assert len(out) == 1 and isinstance(out[0], str)
+
+    # converted in place: native numpy checkpoint now in the cache snapshot
+    import pickle
+
+    with (cache / "wmt14_deen" / "avg5.ckpt").open("rb") as f:
+        ckpt = pickle.load(f)
+    assert isinstance(next(iter(_leaves(ckpt["model_state"]))), np.ndarray)
+
+    # second load hits the cache — no transport call
+    fetched.clear()
+    zoo.load("wmt14_deen")
+    assert fetched == []
+
+
+@needs_ref
+def test_zoo_huggingface_fallback_order(ref_modules, tmp_path, monkeypatch):
+    """Source ordering (reference hubconf.py:79-107): remote-first entries
+    fall back to huggingface_hub.snapshot_download when the URL fails;
+    hf-first entries (iwslt14_prompt) go to the hub directly."""
+    import urllib.request
+
+    import huggingface_hub
+
+    from joeys2t_tpu import zoo
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setattr(zoo, "_cache_dir", lambda: cache)
+    calls = []
+
+    def failing_urlretrieve(url, filename):
+        calls.append(("remote", url))
+        raise OSError("no route to host")
+
+    def fake_snapshot_download(repo_id, local_dir, **kwargs):
+        calls.append(("hf", repo_id))
+        _make_torch_snapshot(Path(local_dir), ckpt_name="avg5.ckpt",
+                             stale_paths=True)
+        return str(local_dir)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", failing_urlretrieve)
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        fake_snapshot_download)
+
+    hub = zoo.load("wmt14_deen")  # remote fails -> hf snapshot
+    assert calls == [("remote", f"{zoo.BASE_URL}/wmt14_deen.tar.gz"),
+                     ("hf", "may-ohta/wmt14_deen")]
+    assert len(hub.generate(["2 4"])) == 1
+
+    calls.clear()
+    zoo.load("iwslt14_prompt")  # hf-primary: hub first, no URL attempt
+    assert calls == [("hf", "may-ohta/iwslt14_prompt")]
 
 
 @needs_ref
