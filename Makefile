@@ -1,10 +1,15 @@
-.PHONY: install test bench check ci format clean
+.PHONY: install test test-fast bench check ci format clean
 
 install:
 	pip install -e .
 
 test:
 	python -m pytest tests/ -x -q
+
+# inner-loop gate: skips the slow marker set (e2e CLI training,
+# multi-process SPMD, torch-oracle parity) - see tests/conftest.py
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py
