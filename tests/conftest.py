@@ -33,10 +33,37 @@ _SLOW_MODULES = {
     "test_tensor_parallel",   # TrainManager-from-config on the 8-dev mesh
     "test_pipeline_parallel",  # GPipe TrainManager equivalence runs
     "test_scripts",           # corpus generators + data-prep CLIs
+    "test_serving",           # wav->text Transcriber e2e (80s+ fixture build)
+    "test_hub_interface",     # generate()/CLI-translate e2e on a built model
+    "test_moe",               # MoE training-signal runs on the 8-dev mesh
+    "test_freeze",            # multi-step frozen-encoder training runs
+}
+
+# Individual heavy tests inside otherwise-fast unit modules (training runs
+# or realistic-size forwards, 10-55s each on the single-core CPU mesh);
+# everything else in their modules stays in the fast gate.
+_SLOW_TESTS = {
+    ("test_model_forward", "TestRemat"),              # fwd+bwd bit-parity, 54s
+    ("test_model_forward", "test_rnn_forward"),       # stacked-RNN fwd, 23s
+    ("test_model_forward", "test_macaron_paper_trains"),  # 22s training run
+    ("test_rnn_attention", "TestLuongRecurrentModel"),    # greedy e2e, 13s
+    ("test_sharded_checkpoint", "test_tp_sharded_round_trip"),  # 11s
+    ("test_prompts", "test_forced_prompt_decoding_through_predict"),  # 11s
+    ("test_loss", "TestCTCGradients"),                # finite-diff CTC, 4s
+    ("test_loss", "test_gradients_match"),            # CTC grad oracle, 7s
+    ("test_flash_attention", "TestWideModelDispatch"),     # per-head path, 7s
+    ("test_flash_attention", "TestLongSequenceDispatch"),  # S>=1024 path, 7s
+    ("test_search", "TestRecurrentGreedy"),           # RNN greedy e2e, 5s
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.fspath.purebasename in _SLOW_MODULES:
+        name = item.fspath.purebasename
+        if name in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+            continue
+        for part in item.nodeid.split("::")[1:]:
+            if (name, part.split("[")[0]) in _SLOW_TESTS:
+                item.add_marker(pytest.mark.slow)
+                break
