@@ -148,7 +148,7 @@ def section_beam(batch_size=32, n_frames=1000, beam_size=5,
 
 
 def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
-                           trg_len=48, iters=10):
+                           trg_len=48, iters=10, tx=None):
     """Shared train-step timing core. Returns (dict, elapsed_per_step)."""
     import jax
     import jax.numpy as jnp
@@ -168,7 +168,8 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
     trg_length = jnp.full((batch_size,), trg_len - 1, jnp.int32)
     loss_fn = XentCTCLoss(pad_index=spec.pad_index, bos_index=spec.bos_index,
                           smoothing=0.1, ctc_weight=0.3)
-    tx = optax.adamw(1e-4)
+    if tx is None:
+        tx = optax.adamw(1e-4)
     # the step below donates its state args; copy so the caller's params
     # survive and this helper stays re-entrant
     params = jax.tree.map(jnp.copy, params)

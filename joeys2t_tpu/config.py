@@ -56,6 +56,9 @@ class TrainConfig:
     label_smoothing: float = 0.0
     optimizer: str = "adam"
     adam_betas: List[float] = dataclasses.field(default_factory=lambda: [0.9, 0.999])
+    # beyond-reference TPU knob: dtype of the Adam/AdamW first moment
+    # ("bfloat16" halves its HBM footprint; None keeps the param dtype).
+    moment_dtype: Optional[str] = None
     learning_rate: float = 0.005
     learning_rate_min: float = 0.0001
     learning_rate_factor: float = 1
@@ -303,6 +306,7 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
         label_smoothing=cfg.get("label_smoothing", 0.0),
         optimizer=cfg.get("optimizer", "adam").lower(),
         adam_betas=cfg.get("adam_betas", [0.9, 0.999]),
+        moment_dtype=cfg.get("moment_dtype", None),
         learning_rate=cfg.get("learning_rate", 0.005),
         learning_rate_min=cfg.get("learning_rate_min", 0.0001),
         learning_rate_factor=cfg.get("learning_rate_factor", 1),

@@ -55,13 +55,23 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     optimizer_name = cfg.get("optimizer", "sgd").lower()
     lr = cfg.get("learning_rate", 3.0e-4)
     weight_decay = cfg.get("weight_decay", 0)
+    # beyond-reference TPU knob: store the Adam first moment in bfloat16 to
+    # halve its HBM footprint/traffic (optax mu_dtype; the second moment stays
+    # fp32 — optax does not expose its dtype). None keeps param dtype.
+    moment_dtype = cfg.get("moment_dtype", None)
+    mu_dtype = None
+    if moment_dtype is not None:
+        import jax.numpy as jnp
+        mu_dtype = jnp.dtype(moment_dtype)
 
     if optimizer_name == "adam":
         betas = cfg.get("adam_betas", (0.9, 0.999))
 
         @optax.inject_hyperparams
         def make(learning_rate):
-            chain = [optax.scale_by_adam(b1=betas[0], b2=betas[1])]
+            chain = [
+                optax.scale_by_adam(b1=betas[0], b2=betas[1], mu_dtype=mu_dtype)
+            ]
             if weight_decay > 0:  # torch Adam applies L2 to the raw grads
                 chain.insert(0, _decayed(weight_decay))
             chain.append(optax.scale(-1.0 * learning_rate))
@@ -74,10 +84,32 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         @optax.inject_hyperparams
         def make(learning_rate):
             return optax.chain(
-                optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+                optax.scale_by_adam(b1=betas[0], b2=betas[1], mu_dtype=mu_dtype),
                 _decayed(weight_decay),
                 optax.scale(-1.0 * learning_rate),
             )
+
+        tx = make(lr)
+    elif optimizer_name == "adafactor":
+        # beyond-reference: factored second moments (Shazeer & Stern 2018) cut
+        # optimizer state from 2 full param copies to ~row+col vectors — the
+        # standard TPU choice for large models. Pieces mirror optax.adafactor
+        # (momentum-free, no parameter-scale multiplier so the lr keeps
+        # adam-like units and composes with the YAML schedulers) with the
+        # trainer-scheduled lr injected as a hyperparameter.
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            # same composition as optax.adafactor: factored rms -> block-rms
+            # clip -> +lr scale -> (decoupled wd) -> final scale(-1)
+            chain = [
+                optax.scale_by_factored_rms(),
+                optax.clip_by_block_rms(1.0),
+                optax.scale(learning_rate),
+            ]
+            if weight_decay > 0:
+                chain.append(_decayed(weight_decay))
+            chain.append(optax.scale(-1.0))
+            return optax.chain(*chain)
 
         tx = make(lr)
     elif optimizer_name == "adagrad":
@@ -126,8 +158,8 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         tx = make(lr)
     else:
         raise ConfigurationError(
-            "Invalid optimizer. Valid options: 'adam', 'adamw', 'adagrad', "
-            "'adadelta', 'rmsprop', 'sgd'.")
+            "Invalid optimizer. Valid options: 'adam', 'adamw', 'adafactor', "
+            "'adagrad', 'adadelta', 'rmsprop', 'sgd'.")
 
     logger.info("%s(lr=%s, weight_decay=%s)", optimizer_name, lr, weight_decay)
     return tx

@@ -99,6 +99,44 @@ class TestBuilders:
         # adam first step: update = -lr * sign-ish; magnitude ~ lr
         assert abs(float(updates["w"][0])) < 1e-3
 
+    def test_adafactor_factored_state_and_descent(self):
+        import jax
+        import jax.numpy as jnp
+
+        tx = build_optimizer({"optimizer": "adafactor", "learning_rate": 1e-2})
+        params = {"w": jnp.ones((256, 512)), "b": jnp.zeros((512,))}
+        state = tx.init(params)
+        # factored second moments: no state leaf carries the full (256, 512)
+        # matrix shape — rows/cols vectors only
+        leaves = jax.tree_util.tree_leaves(state)
+        assert all(l.shape != (256, 512) for l in leaves if hasattr(l, "shape"))
+        grads = {"w": jnp.full((256, 512), 0.5), "b": jnp.full((512,), 0.5)}
+        updates, state = tx.update(grads, state, params)
+        # update opposes the gradient and is lr-scaled
+        assert float(jnp.max(updates["w"])) < 0.0
+        assert abs(float(updates["w"][0, 0])) < 1.0
+        # lr injection round-trips like the other optimizers
+        set_learning_rate(state, 5e-4)
+        assert abs(get_learning_rate(state) - 5e-4) < 1e-9
+
+    def test_adamw_bf16_moment_dtype(self):
+        import jax
+        import jax.numpy as jnp
+
+        tx = build_optimizer({
+            "optimizer": "adamw", "learning_rate": 1e-3,
+            "weight_decay": 0.01, "moment_dtype": "bfloat16",
+        })
+        params = {"w": jnp.ones((8, 8), jnp.float32)}
+        state = tx.init(params)
+        dtypes = {l.dtype for l in jax.tree_util.tree_leaves(state)
+                  if hasattr(l, "dtype") and getattr(l, "shape", ()) == (8, 8)}
+        assert jnp.dtype(jnp.bfloat16) in dtypes  # mu stored in bf16
+        assert jnp.dtype(jnp.float32) in dtypes   # nu stays fp32
+        grads = {"w": jnp.ones((8, 8))}
+        updates, _ = tx.update(grads, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
     def test_clipper_exclusive(self):
         from joeys2t_tpu.config import ConfigurationError
 

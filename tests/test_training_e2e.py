@@ -142,6 +142,31 @@ def test_profiler_hook_writes_trace(reverse_env, monkeypatch, tmp_path):
     assert any(f.is_file() for f in files), files
 
 
+def test_adafactor_bf16_moments_train(reverse_env):
+    """The TPU memory knobs (optimizer: adafactor; moment_dtype for adam)
+    train end-to-end through the real config->TrainManager path and
+    checkpoint/resume cleanly (factored optimizer state round-trips)."""
+    import copy
+
+    tmp, base_cfg = reverse_env
+    cfg = copy.deepcopy(base_cfg)
+    cfg["model_dir"] = (tmp / "adafactor_model").as_posix()
+    cfg["training"].update(optimizer="adafactor", learning_rate=1e-2,
+                           weight_decay=0.01, epochs=1)
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+    model_dir = Path(cfg["model_dir"])
+    assert (model_dir / "latest.ckpt").is_symlink()
+    ckpt = load_checkpoint(model_dir / "latest.ckpt")
+    assert ckpt["optimizer_state"] is not None
+    # resume: factored state loads back
+    cfg["training"].update(load_model=(model_dir / "latest.ckpt").as_posix(),
+                           epochs=1)
+    cfg["model_dir"] = (tmp / "adafactor_resume").as_posix()
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=True)
+
+
 def test_rnn_reverse_config_trains(reverse_env):
     """The shipped legacy-RNN config (configs/rnn_reverse.yaml, LSTM +
     Luong attention + input feeding) trains end-to-end: one epoch,
