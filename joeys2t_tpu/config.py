@@ -59,6 +59,12 @@ class TrainConfig:
     # beyond-reference TPU knob: dtype of the Adam/AdamW first moment
     # ("bfloat16" halves its HBM footprint; None keeps the param dtype).
     moment_dtype: Optional[str] = None
+    # beyond-reference TPU knob: host->device dtype of float speech
+    # features. "auto" uploads bfloat16 whenever the encoder computes in
+    # bfloat16 (the encoder casts inputs to its compute dtype on device
+    # anyway, so this halves the dominant sustained-train transfer with
+    # bit-identical downstream math); "float32"/"bfloat16" force.
+    feature_dtype: str = "auto"
     learning_rate: float = 0.005
     learning_rate_min: float = 0.0001
     learning_rate_factor: float = 1
@@ -284,6 +290,10 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
     if pipeline_microbatches < 0:
         raise ConfigurationError("`pipeline_microbatches` must be >= 0.")
 
+    feature_dtype = str(cfg.get("feature_dtype", "auto")).lower()
+    _check_options("feature_dtype", feature_dtype,
+                   ["auto", "float32", "bfloat16"])
+
     logging_freq = cfg.get("logging_freq", 100)
     validation_freq = cfg.get("validation_freq", 1000)
     if logging_freq > validation_freq:
@@ -307,6 +317,7 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
         optimizer=cfg.get("optimizer", "adam").lower(),
         adam_betas=cfg.get("adam_betas", [0.9, 0.999]),
         moment_dtype=cfg.get("moment_dtype", None),
+        feature_dtype=feature_dtype,
         learning_rate=cfg.get("learning_rate", 0.005),
         learning_rate_min=cfg.get("learning_rate_min", 0.0001),
         learning_rate_factor=cfg.get("learning_rate_factor", 1),

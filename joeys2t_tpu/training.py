@@ -17,6 +17,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 import optax
 
@@ -229,6 +230,18 @@ class TrainManager:
         set_default_mesh(self.mesh)
 
         self._dropout_rng = jax.random.PRNGKey(seed + 7919)
+
+        # host->device feature dtype (training: feature_dtype). The sustained
+        # train loop is transfer-bound on remote TPU topologies: the (B, T, 80)
+        # f32 features dominate upload bytes, and the encoder casts inputs to
+        # its compute dtype on device anyway — so when that dtype is bfloat16,
+        # uploading bf16 halves the bytes with bit-identical downstream math
+        # (both paths are one f32->bf16 round-to-nearest-even).
+        fd = getattr(self.args, "feature_dtype", "auto")
+        enc_dtype = getattr(self.model.encoder, "dtype", jnp.float32)
+        self._feature_dtype = (
+            ml_dtypes.bfloat16 if fd == "bfloat16"
+            or (fd == "auto" and enc_dtype == jnp.bfloat16) else np.float32)
 
         # jitted steps
         self._jit_train_step = self._make_train_step()
@@ -695,6 +708,10 @@ class TrainManager:
         else:
             padded = batch.pad_to_shape(batch_size=target_b)
         arrays = _batch_to_arrays(padded)
+        src = arrays["src"]
+        if (src is not None and src.dtype == np.float32
+                and self._feature_dtype is not np.float32):
+            arrays["src"] = src.astype(self._feature_dtype)
         from joeys2t_tpu.parallel import shard_batch_arrays
 
         arrays = shard_batch_arrays(arrays, self.mesh)

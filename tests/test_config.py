@@ -64,6 +64,13 @@ class TestTrainArgs:
         args = parse_train_args(self.base(profile_dir=tmp_path.as_posix()))
         assert args.profile_dir == tmp_path
 
+    def test_feature_dtype_knob(self):
+        assert parse_train_args(self.base()).feature_dtype == "auto"
+        args = parse_train_args(self.base(feature_dtype="BFLOAT16"))
+        assert args.feature_dtype == "bfloat16"
+        with pytest.raises(ConfigurationError):
+            parse_train_args(self.base(feature_dtype="float16"))
+
 
 class TestTestArgs:
     def test_defaults(self):

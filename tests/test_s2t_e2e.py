@@ -158,6 +158,54 @@ def test_s2t_transfer_partial_init():
 
 
 @needs_ref
+def test_bf16_feature_upload_matches_f32():
+    """`training: feature_dtype: auto` uploads bf16 features for bf16-compute
+    models; the train-step loss must match the f32-upload path exactly (the
+    encoder's first op casts inputs to its compute dtype on device, so host
+    bf16 rounding is the same round-to-nearest-even)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joeys2t_tpu.config import parse_global_args, set_validation_args
+    from joeys2t_tpu.prediction import prepare
+    from joeys2t_tpu.training import TrainManager
+
+    tmp = Path(tempfile.mkdtemp())
+    cfg = s2t_cfg(tmp)
+    cfg["fp16"] = True  # bfloat16 compute on TPU/CPU
+    make_model_dir(Path(cfg["model_dir"]))
+    gargs = parse_global_args(cfg, rank=0, mode="train")
+    model, spec, params, loss_fn, train_data, _, _ = prepare(
+        gargs, rank=0, mode="train")
+    trainer = TrainManager(
+        model=model, spec=spec, params=params, loss_fn=loss_fn,
+        model_dir=gargs.model_dir, task=gargs.task, seed=gargs.seed,
+        train_args=gargs.train, dev_args=set_validation_args(gargs.test),
+        num_workers=0, model_cfg=gargs.model)
+    batch = next(iter(train_data.make_iter(
+        batch_size=4, batch_type="sentence", seed=7, shuffle=False,
+        num_workers=0, eos_index=spec.eos_index, pad_index=spec.pad_index)))
+
+    _, _, arrays_bf16, norm = trainer._prepare_batch(batch)
+    assert arrays_bf16["src"].dtype == jnp.bfloat16
+
+    trainer._feature_dtype = np.float32  # force the f32 upload path
+    _, _, arrays_f32, _ = trainer._prepare_batch(batch)
+    assert arrays_f32["src"].dtype == jnp.float32
+
+    rng = jax.random.PRNGKey(3)
+    # the train step donates params/opt_state — hand each call its own copy
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    _, _, m16 = trainer._jit_train_step(
+        copy(trainer.params), copy(trainer.opt_state), rng, arrays_bf16, norm)
+    _, _, m32 = trainer._jit_train_step(
+        copy(trainer.params), copy(trainer.opt_state), rng, arrays_f32, norm)
+    np.testing.assert_allclose(np.asarray(m16[0]), np.asarray(m32[0]),
+                               rtol=1e-6)
+
+
+@needs_ref
 def test_s2t_beam_wer_eval_protocol():
     """Full eval protocol end-to-end (VERDICT r1 item 5): overfit the tiny
     S2T model on the 10 reference wavs, then run the *test-mode* path —
