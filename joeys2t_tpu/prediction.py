@@ -27,6 +27,7 @@ from joeys2t_tpu.data.batch import Batch
 from joeys2t_tpu.data.datasets import SpeechStreamDataset, StreamDataset
 from joeys2t_tpu.data.loader import load_data
 from joeys2t_tpu.helpers import (
+    cast_features_for_upload,
     expand_reverse_index,
     resolve_ckpt_path,
     save_hypothese,
@@ -253,7 +254,8 @@ def predict(
             return_lp = args.return_prob == "ref"
             total, nll, ctc, n_correct, log_probs = eval_step(
                 params,
-                jnp.asarray(batch.src), jnp.asarray(batch.trg_input),
+                jnp.asarray(cast_features_for_upload(batch.src, model)),
+                jnp.asarray(batch.trg_input),
                 jnp.asarray(batch.trg), jnp.asarray(batch.src_length),
                 None if batch.src_mask is None else jnp.asarray(batch.src_mask),
                 jnp.asarray(batch.trg_mask), jnp.asarray(batch.trg_length),

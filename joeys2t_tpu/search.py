@@ -798,9 +798,11 @@ def search(params, model, spec, batch: Batch, max_output_length: int,
     dispatch greedy vs beam. When a default mesh is installed, inputs are
     placed with dim-0 data sharding so the jitted encode/decode loops
     partition across the mesh (GSPMD propagates through the while_loop)."""
+    from joeys2t_tpu.helpers import cast_features_for_upload
     from joeys2t_tpu.parallel.mesh import maybe_shard_batch
 
-    src = maybe_shard_batch(jnp.asarray(batch.src))
+    src = maybe_shard_batch(jnp.asarray(cast_features_for_upload(
+        batch.src, model)))
     src_length = maybe_shard_batch(jnp.asarray(batch.src_length))
     src_mask_in = None if batch.src_mask is None else maybe_shard_batch(
         jnp.asarray(batch.src_mask))

@@ -47,6 +47,58 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _prefetch_prepared(stream, prepare_fn, depth: int = 2):
+    """Run ``_prepare_batch`` one step ahead in a daemon thread.
+
+    Host batch prep (np.load + CMVN/SpecAugment + collate + pad, measured
+    ~400ms/batch cold on a 1-core host) and the device_put *issue* (~40ms;
+    the transfer itself is async, blocking fraction 0.13 — see
+    scripts/probe_sustained_train.py phase B2) then overlap device execution
+    of the previous step instead of serializing with it. Single-process
+    only: ``_multihost_sync_stream`` performs a device collective per batch
+    that must stay on the main thread to keep collective order identical
+    across hosts.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+    end = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for batch, sync_dims in stream:
+                if not _put(prepare_fn(batch, sync_dims)):
+                    return
+            _put(end)
+        except BaseException as e:  # pylint: disable=broad-except
+            _put(e)  # re-raised on the consuming side
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="prepare-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def _multihost_sync_stream(train_iter, batch_size: int, dp: int):
     """Keep multi-host ranks in lock-step for one epoch of batches.
 
@@ -544,6 +596,7 @@ class TrainManager:
         profile_window = (10, 20) if profile_dir else None
 
         epoch_no = self.stats.epochs
+        prepared_stream = None
         try:
             for epoch_no in range(self.stats.epochs, self.args.epochs + 1, 1):
                 logger.info("EPOCH %d", epoch_no)
@@ -571,11 +624,14 @@ class TrainManager:
                     stream = _multihost_sync_stream(
                         self.train_iter, self.args.batch_size,
                         self.mesh.mesh.shape["data"])
+                    prepared_stream = (self._prepare_batch(b, sd)
+                                       for b, sd in stream)
                 else:
                     stream = ((b, None) for b in self.train_iter)
-                for batch, sync_dims in stream:
-                    nseqs_real, ntokens_real, arrays, normalizer = \
-                        self._prepare_batch(batch, sync_dims)
+                    prepared_stream = _prefetch_prepared(
+                        stream, self._prepare_batch)
+                for nseqs_real, ntokens_real, arrays, normalizer \
+                        in prepared_stream:
                     self._dropout_rng, step_rng = jax.random.split(self._dropout_rng)
 
                     if self.args.batch_multiplier == 1:
@@ -649,6 +705,10 @@ class TrainManager:
                     if self.stats.is_min_lr or self.stats.is_max_update:
                         break
 
+                # stop the prefetch worker promptly on break (it would
+                # otherwise keep polling its bounded queue until GC)
+                prepared_stream.close()
+
                 if micro_metrics:
                     # incomplete accumulation group at epoch end: no optimizer
                     # step ran, but its micro-batch losses still count into
@@ -679,6 +739,8 @@ class TrainManager:
                         self.stats.best_ckpt_iter, self.stats.best_ckpt_score,
                         self.args.early_stopping_metric)
         finally:
+            if prepared_stream is not None:  # interrupt mid-epoch: stop the
+                prepared_stream.close()      # prefetch worker before saving
             try:
                 self._save_checkpoint(False, float("nan"))
             except RuntimeError as e:

@@ -42,6 +42,9 @@ def main():
                     help="override training.batch_size")
     ap.add_argument("--section", default="ABC",
                     help="subset of phases to run, e.g. C")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="phase C uses the TrainManager _prefetch_prepared "
+                         "pipeline (host prep + upload issue overlap compute)")
     args = ap.parse_args()
 
     from joeys2t_tpu.config import load_config, parse_global_args, \
@@ -171,6 +174,16 @@ def run_c(args, trainer, train_data, gargs, spec):
         batch_size=trainer.args.batch_size, batch_type=trainer.args.batch_type,
         seed=trainer.seed + 1, shuffle=True, num_workers=gargs.num_workers,
         eos_index=spec.eos_index, pad_index=spec.pad_index))
+
+    def prepare(batch, sync_dims):
+        out = trainer._prepare_batch(batch, sync_dims)
+        return (float(np.sum(batch.src_length)) * 0.01,) + out
+
+    if args.prefetch:
+        from joeys2t_tpu.training import _prefetch_prepared
+        prepared = _prefetch_prepared(stream, prepare)
+    else:
+        prepared = (prepare(b, sd) for b, sd in stream)
     pending = []
     warmup = 3
     t_start = None
@@ -178,7 +191,8 @@ def run_c(args, trainer, train_data, gargs, spec):
     nsteps = 0
     step_ms = []
     t_prev = time.perf_counter()
-    for i, (batch, sync_dims) in enumerate(stream):
+    for i, (audio_s, nseqs_real, ntokens_real, arrays,
+            normalizer) in enumerate(prepared):
         if i >= args.steps + warmup:
             break
         if i == warmup:
@@ -187,14 +201,12 @@ def run_c(args, trainer, train_data, gargs, spec):
             t_start = time.perf_counter()
             t_prev = t_start
             audio_sec = 0.0
-        nseqs_real, ntokens_real, arrays, normalizer = trainer._prepare_batch(
-            batch, sync_dims)
         trainer._dropout_rng, step_rng = jax.random.split(trainer._dropout_rng)
         trainer.params, trainer.opt_state, metrics = trainer._jit_train_step(
             trainer.params, trainer.opt_state, step_rng, arrays, normalizer)
         pending = metrics
         if i >= warmup:
-            audio_sec += float(np.sum(batch.src_length)) * 0.01
+            audio_sec += audio_s
             nsteps += 1
             t_now = time.perf_counter()
             step_ms.append(1000 * (t_now - t_prev))
