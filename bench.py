@@ -307,6 +307,84 @@ def section_int8(batch_size=1024, n_frames=1000, max_output_length=96,
     return {"greedy_int8_cache_RTFx": round(rtfx, 2)}
 
 
+def section_sustained(steps=12, warmup=3):
+    """Sustained END-TO-END CLI training-loop throughput: real dataset
+    iterator -> host collate/pad -> bf16 feature upload -> prepared-batch
+    prefetch thread -> jitted train step (configs/synthetic_asr.yaml, B=64).
+
+    Unlike `train` (isolated device step), this measures what a user's
+    `python -m joeys2t_tpu train` actually sustains, including the host
+    pipeline and the host->device transfer. On the axon tunnel the upload
+    bandwidth (~35 MB/s) is the binding constraint — see
+    scripts/probe_sustained_train.py and docs/benchmarks_s2t.md. The step
+    window stays inside the first shape bucket (the seed-1 order hits a
+    second (384-frame) bucket at batch 20; a fresh bucket costs a
+    multi-minute relay compile that would swamp a 12-step window)."""
+    _jax_setup()
+    if not (_HERE / "data" / "synthetic_asr").is_dir():
+        return {"sustained_skipped":
+                "synthetic corpus absent (scripts/generate_synthetic_asr.py)"}
+    import jax
+    import numpy as np
+
+    from joeys2t_tpu.config import (load_config, parse_global_args,
+                                    set_validation_args)
+    from joeys2t_tpu.prediction import prepare
+    from joeys2t_tpu.training import TrainManager, _prefetch_prepared
+
+    cfg = load_config(str(_HERE / "configs" / "synthetic_asr.yaml"))
+    cfg["training"].update(updates=10 ** 9, validation_freq=10 ** 9,
+                           logging_freq=10 ** 9, overwrite=True)
+    cfg["model_dir"] = "/tmp/bench_sustained"
+    Path("/tmp/bench_sustained").mkdir(parents=True, exist_ok=True)
+    gargs = parse_global_args(cfg, rank=0, mode="train")
+    model, spec, params, loss_fn, train_data, _, _ = prepare(
+        gargs, rank=0, mode="train")
+    trainer = TrainManager(
+        model=model, spec=spec, params=params, loss_fn=loss_fn,
+        model_dir=gargs.model_dir, task=gargs.task, seed=gargs.seed,
+        train_args=gargs.train, dev_args=set_validation_args(gargs.test),
+        num_workers=0, model_cfg=gargs.model)
+    stream = ((b, None) for b in train_data.make_iter(
+        batch_size=trainer.args.batch_size,
+        batch_type=trainer.args.batch_type,
+        seed=trainer.seed + 1, shuffle=True, num_workers=0,
+        eos_index=spec.eos_index, pad_index=spec.pad_index))
+
+    def prep(batch, sync_dims):
+        out = trainer._prepare_batch(batch, sync_dims)
+        return (float(np.sum(batch.src_length)) * 0.01,) + out
+
+    prepared = _prefetch_prepared(stream, prep)
+    pending, step_ms, audio_sec, nsteps = [], [], 0.0, 0
+    t_start = t_prev = None
+    for i, (audio_s, _, _, arrays, normalizer) in enumerate(prepared):
+        if i >= steps + warmup:
+            break
+        if i == warmup:  # flush compiles, then start the clock
+            np.asarray(jax.device_get(pending[0]))
+            t_start = t_prev = time.perf_counter()
+        trainer._dropout_rng, step_rng = jax.random.split(trainer._dropout_rng)
+        trainer.params, trainer.opt_state, metrics = trainer._jit_train_step(
+            trainer.params, trainer.opt_state, step_rng, arrays, normalizer)
+        pending = metrics
+        if i >= warmup:
+            audio_sec += audio_s
+            nsteps += 1
+            now = time.perf_counter()
+            step_ms.append(1000 * (now - t_prev))
+            t_prev = now
+    prepared.close()
+    np.asarray(jax.device_get(pending[0]))  # drain the device queue
+    wall = time.perf_counter() - t_start
+    return {
+        "sustained_step_ms": round(1000 * wall / nsteps, 1),
+        "sustained_step_ms_median": round(float(np.median(step_ms)), 1),
+        "sustained_audio_sec_per_s": round(audio_sec / wall, 1),
+        "sustained_shape": "B=64 e2e CLI loop, bf16 upload, prefetch",
+    }
+
+
 def _init_flagship_params(model):
     import jax
     import jax.numpy as jnp
@@ -323,6 +401,7 @@ SECTIONS = {
     "train": section_train,
     "conformer_train": section_conformer_train,
     "int8": section_int8,
+    "sustained": section_sustained,
 }
 # a failure in these marks the whole run degraded (exit 1); int8 is a
 # serving knob and only reported
