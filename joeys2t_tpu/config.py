@@ -9,6 +9,7 @@ unchanged. Device handling is JAX-native: `use_cuda: True` maps to "run on the
 default JAX backend (TPU)", fp16 maps to bfloat16 compute on TPU.
 """
 import dataclasses
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -294,6 +295,14 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
     _check_options("feature_dtype", feature_dtype,
                    ["auto", "float32", "bfloat16"])
 
+    # fail at parse time, not as a TypeError from jnp.dtype() when the
+    # optimizer is built (optim.py consumes this as a dtype string)
+    moment_dtype = cfg.get("moment_dtype", None)
+    if moment_dtype is not None:
+        moment_dtype = str(moment_dtype).lower()
+    _check_options("moment_dtype", moment_dtype,
+                   [None, "bfloat16", "float32"])
+
     logging_freq = cfg.get("logging_freq", 100)
     validation_freq = cfg.get("validation_freq", 1000)
     if logging_freq > validation_freq:
@@ -316,7 +325,7 @@ def parse_train_args(cfg: Dict = None, mode: str = "train") -> TrainConfig:
         label_smoothing=cfg.get("label_smoothing", 0.0),
         optimizer=cfg.get("optimizer", "adam").lower(),
         adam_betas=cfg.get("adam_betas", [0.9, 0.999]),
-        moment_dtype=cfg.get("moment_dtype", None),
+        moment_dtype=moment_dtype,
         feature_dtype=feature_dtype,
         learning_rate=cfg.get("learning_rate", 0.005),
         learning_rate_min=cfg.get("learning_rate_min", 0.0001),
@@ -397,7 +406,10 @@ def parse_test_args(cfg: Dict = None, mode: str = "test") -> TestConfig:
         raise ConfigurationError(
             "Repetition penalty must be > 1. (-1 indicates no repetition penalty.)")
 
-    beam_reorder = cfg.get("beam_reorder", "auto").lower()
+    # env var overrides the YAML (operational escape hatch); resolved HERE,
+    # at parse time — the decode hot path never reads the environment
+    beam_reorder = os.environ.get(
+        "JOEYS2T_BEAM_REORDER", cfg.get("beam_reorder", "auto")).lower()
     _check_options("beam_reorder", beam_reorder, ["auto", "lazy", "physical"])
 
     return TestConfig(

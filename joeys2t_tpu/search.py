@@ -726,13 +726,12 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
     # beam-reorder strategy: "lazy" = ancestry-indexed self attention (no
     # physical cache permute; modules.step_self_ancestry), "physical" =
     # classic cache[select]. Configured via `testing: beam_reorder:` in the
-    # YAML (config.TestConfig), env var JOEYS2T_BEAM_REORDER overrides.
+    # YAML; the JOEYS2T_BEAM_REORDER env override is resolved at config
+    # parse time (config.parse_test_args), never here in the decode path.
     # int8 self caches always use the physical path (ancestry supports
     # bf16/f32); cross-int8 composes with lazy reorder because the beam
     # reorder never touches cross caches.
-    import os
-    mode = os.environ.get("JOEYS2T_BEAM_REORDER",
-                          kwargs.get("beam_reorder", "auto"))
+    mode = kwargs.get("beam_reorder", "auto")
     lazy_reorder = (mode == "lazy" or mode == "auto") \
         and not getattr(model.decoder, "cache_self_int8", False) \
         and not isinstance(model.decoder, RecurrentDecoder)

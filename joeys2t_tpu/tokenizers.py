@@ -1,6 +1,6 @@
 # coding: utf-8
 """
-Tokenizers (counterpart of joeynmt/tokenizers.py).
+Tokenizers (behavioral counterpart of joeynmt/tokenizers.py).
 
 Backends:
   - BasicTokenizer: word/char with lowercase/NFKC/length-filter
@@ -13,6 +13,12 @@ Backends:
     SpecAugment ordering (joeynmt/tokenizers.py:433-508)
   - EvaluationTokenizer: sacrebleu tokenizers + lowercase + punctuation
     removal for WER (joeynmt/tokenizers.py:511-553)
+
+Design: the text classes share one `__call__`/`post_process` skeleton;
+subclasses plug in `_segment` (raw string -> pieces) and `_join`
+(pieces -> surface text) plus two small knobs — where the `<sep>` prompt
+cut lands and what post-join cleanup runs. The reference instead repeats
+the whole flow per class; only the observable behavior is kept.
 """
 import shutil
 from pathlib import Path
@@ -33,12 +39,19 @@ from joeys2t_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
 
+_SPACE = chr(32)  # ' '
+_MARKER = chr(9601)  # '▁' — sentencepiece-style space escape
+
 
 class BasicTokenizer:
-    """Word/char tokenizer (joeynmt/tokenizers.py:24-186)."""
+    """Word/char-level text tokenizer (joeynmt/tokenizers.py:24-186)."""
 
-    SPACE = chr(32)  # ' '
-    SPACE_ESCAPE = chr(9601)  # '▁'
+    SPACE = _SPACE
+    SPACE_ESCAPE = _MARKER
+
+    # whether the prompt cut keeps the <sep> token itself (subword models
+    # need it to reconstruct the surface form; word/char models drop it)
+    _PROMPT_KEEPS_SEP = False
 
     def __init__(self, level: str = "word", lowercase: bool = False,
                  normalize: bool = False, max_length: int = -1,
@@ -66,102 +79,131 @@ class BasicTokenizer:
             if self.normalize:
                 self.moses_normalizer = sacremoses.MosesPunctNormalizer()
 
+    # ---------------------------------------------------------- raw -> clean
     def pre_process(self, raw_input: str, allow_empty: bool = False) -> str:
-        """joeynmt/tokenizers.py:72-102."""
+        """Clean one raw line: NFKC/space normalization, optional moses
+        pretokenization, optional lowercasing — in that order (the order is
+        the contract, joeynmt/tokenizers.py:72-102)."""
         if not allow_empty:
             assert isinstance(raw_input, str) and raw_input.strip() != "", \
                 "Got an empty input sentence — tokenization needs " \
                 "non-empty text."
+        text = raw_input
         if self.normalize:
-            raw_input = remove_extra_spaces(unicode_normalize(raw_input))
+            text = remove_extra_spaces(unicode_normalize(text))
         if self.pretokenizer == "moses":
             if self.normalize:
-                raw_input = self.moses_normalizer.normalize(raw_input)
-            raw_input = self.moses_tokenizer.tokenize(raw_input, return_str=True)
+                text = self.moses_normalizer.normalize(text)
+            text = self.moses_tokenizer.tokenize(text, return_str=True)
         if self.lowercase:
-            raw_input = raw_input.lower()
+            text = text.lower()
         if not allow_empty:
-            assert raw_input is not None and len(raw_input) > 0, raw_input
-        return raw_input
+            assert text is not None and len(text) > 0, text
+        return text
 
+    # -------------------------------------------------------- clean -> pieces
     def __call__(self, raw_input: str, is_train: bool = False) -> List[str]:
         if raw_input is None:
             return None
-        if self.level == "word":
-            sequence = raw_input.split(self.SPACE)
-        elif self.level == "char":
-            sequence = list(raw_input.replace(self.SPACE, self.SPACE_ESCAPE))
-        if is_train and self._filter_by_length(len(sequence)):
+        pieces = self._segment(raw_input, is_train)
+        if is_train and not self._length_ok(len(pieces)):
             return None
-        return sequence
+        return pieces
 
-    def _filter_by_length(self, length: int) -> bool:
-        """True if the token count falls outside the configured [min, max]
-        window; a bound of <= 0 disables that side of the filter."""
-        too_long = self.max_length > 0 and length > self.max_length
-        too_short = self.min_length > 0 and 0 < length < self.min_length
-        return too_long or too_short
+    def _segment(self, text: str, is_train: bool) -> List[str]:
+        del is_train  # word/char segmentation is deterministic
+        if self.level == "char":
+            return list(text.replace(_SPACE, _MARKER))
+        return text.split(_SPACE)
 
-    def _remove_special(self, sequence: List[str], generate_unk: bool = False):
-        specials = self.specials if generate_unk else self.specials + [self.unk_token]
-        valid = [token for token in sequence if token not in specials]
-        if len(valid) == 0:
-            valid = [self.unk_token]
-        return valid
+    def _length_ok(self, n: int) -> bool:
+        """Train-time filter window; a bound <= 0 disables that side."""
+        if self.max_length > 0 and n > self.max_length:
+            return False
+        if self.min_length > 0 and 0 < n < self.min_length:
+            return False
+        return True
 
+    # -------------------------------------------------------- pieces -> text
     def post_process(self, sequence: Union[List[str], str],
                      generate_unk: bool = True, cut_at_sep: bool = True) -> str:
-        """Detokenize (joeynmt/tokenizers.py:134-165)."""
+        """Detokenize decoder output: drop the forced prompt prefix, strip
+        special tokens, rejoin to surface text."""
         if isinstance(sequence, list):
-            if cut_at_sep and getattr(self, "sep_token", None):
-                try:
-                    sep_pos = sequence.index(self.sep_token)
-                    sequence = sequence[sep_pos + 1:]
-                except ValueError:
-                    pass
-            sequence = self._remove_special(sequence, generate_unk=generate_unk)
-            if self.level == "word":
-                if self.pretokenizer == "moses":
-                    sequence = self.moses_detokenizer.detokenize(sequence)
-                else:
-                    sequence = self.SPACE.join(sequence)
-            elif self.level == "char":
-                sequence = "".join(sequence).replace(self.SPACE_ESCAPE, self.SPACE)
+            if cut_at_sep:
+                sequence = self._cut_prompt(sequence)
+            sequence = self._drop_specials(sequence, generate_unk)
+            sequence = self._join(sequence)
+        sequence = self._post_join(sequence)
         if self.normalize:
             sequence = remove_extra_spaces(sequence)
         assert sequence is not None and len(sequence) > 0, sequence
         return sequence
 
+    def _cut_prompt(self, pieces: List[str]) -> List[str]:
+        sep = getattr(self, "sep_token", None)
+        if sep and sep in pieces:
+            start = pieces.index(sep) + (0 if self._PROMPT_KEEPS_SEP else 1)
+            return pieces[start:]
+        return pieces
+
+    def _drop_specials(self, pieces: List[str], generate_unk: bool):
+        banned = set(self.specials)
+        if not generate_unk:
+            banned.add(self.unk_token)
+        kept = [p for p in pieces if p not in banned]
+        return kept if kept else [self.unk_token]
+
+    def _join(self, pieces: List[str]) -> str:
+        if self.level == "char":
+            return "".join(pieces).replace(_MARKER, _SPACE)
+        if self.pretokenizer == "moses":
+            return self.moses_detokenizer.detokenize(pieces)
+        return _SPACE.join(pieces)
+
+    def _post_join(self, text: str) -> str:
+        return text
+
+    # ------------------------------------------------------------- plumbing
     def set_vocab(self, vocab) -> None:
-        """joeynmt/tokenizers.py:167-178."""
+        """Bind the special-token surface forms once the vocab exists
+        (joeynmt/tokenizers.py:167-178)."""
         self.unk_token = vocab.specials[vocab.unk_index]
         self.eos_token = vocab.specials[vocab.eos_index]
-        self.sep_token = vocab.specials[vocab.sep_index] if vocab.sep_index else None
-        specials = vocab.specials + vocab.lang_tags
-        self.specials = [token for token in specials if token != self.unk_token]
+        self.sep_token = (vocab.specials[vocab.sep_index]
+                          if vocab.sep_index else None)
+        reserved = vocab.specials + vocab.lang_tags
+        self.specials = [t for t in reserved if t != self.unk_token]
         self.lang_tags = vocab.lang_tags
 
     def copy_cfg_file(self, model_dir: Path) -> None:
         pass
 
-    def __repr__(self):
-        return (f"{self.__class__.__name__}(level={self.level}, "
-                f"lowercase={self.lowercase}, normalize={self.normalize}, "
+    def _describe(self) -> str:
+        return (f"level={self.level}, lowercase={self.lowercase}, "
+                f"normalize={self.normalize}, "
                 f"filter_by_length=({self.min_length}, {self.max_length}), "
-                f"pretokenizer={self.pretokenizer})")
+                f"pretokenizer={self.pretokenizer}")
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({self._describe()})"
 
 
 class SentencePieceTokenizer(BasicTokenizer):
     """SentencePiece BPE/unigram (joeynmt/tokenizers.py:189-284). Uses the C++
     sentencepiece library when available; otherwise the first-party reader."""
 
+    _PROMPT_KEEPS_SEP = True
+
     def __init__(self, level: str = "bpe", lowercase: bool = False,
                  normalize: bool = False, max_length: int = -1,
                  min_length: int = -1, **kwargs):
-        super().__init__(level, lowercase, normalize, max_length, min_length, **kwargs)
+        super().__init__(level, lowercase, normalize, max_length, min_length,
+                         **kwargs)
         assert self.level == "bpe"
-        self.model_file: Path = Path(kwargs["model_file"])
-        assert self.model_file.is_file(), f"model file {self.model_file} not found."
+        self.model_file = Path(kwargs["model_file"])
+        assert self.model_file.is_file(), \
+            f"model file {self.model_file} not found."
 
         try:
             import sentencepiece as sp
@@ -175,55 +217,35 @@ class SentencePieceTokenizer(BasicTokenizer):
         self.nbest_size: int = kwargs.get("nbest_size", 5)
         self.alpha: float = kwargs.get("alpha", 0.0)
 
-    def __call__(self, raw_input: str, is_train: bool = False) -> List[str]:
-        if raw_input is None:
-            return None
-        if is_train and self.alpha > 0:
-            tokenized = self.spm.sample_encode_as_pieces(
-                raw_input, nbest_size=self.nbest_size, alpha=self.alpha)
-        else:
-            tokenized = self.spm.encode(raw_input, out_type=str)
-        if is_train and self._filter_by_length(len(tokenized)):
-            return None
-        return tokenized
+    def _segment(self, text: str, is_train: bool) -> List[str]:
+        if is_train and self.alpha > 0:  # BPE-dropout via segment sampling
+            return self.spm.sample_encode_as_pieces(
+                text, nbest_size=self.nbest_size, alpha=self.alpha)
+        return self.spm.encode(text, out_type=str)
 
-    def post_process(self, sequence: Union[List[str], str],
-                     generate_unk: bool = True, cut_at_sep: bool = True) -> str:
-        """joeynmt/tokenizers.py:230-260."""
-        if isinstance(sequence, list):
-            if cut_at_sep and getattr(self, "sep_token", None):
-                try:
-                    sep_pos = sequence.index(self.sep_token)
-                    sequence = sequence[sep_pos:]
-                except ValueError:
-                    pass
-            sequence = self._remove_special(sequence, generate_unk=generate_unk)
-            sequence = self.spm.decode(sequence)
-            sequence = sequence.replace(self.SPACE_ESCAPE, self.SPACE).strip()
+    def _join(self, pieces: List[str]) -> str:
+        return self.spm.decode(pieces).replace(_MARKER, _SPACE).strip()
+
+    def _post_join(self, text: str) -> str:
         if self.pretokenizer == "moses":
-            sequence = self.moses_detokenizer.detokenize(sequence.split())
-        if self.normalize:
-            sequence = remove_extra_spaces(sequence)
-        assert sequence is not None and len(sequence) > 0, sequence
-        return sequence
+            text = self.moses_detokenizer.detokenize(text.split())
+        return text
 
     def set_vocab(self, vocab) -> None:
         super().set_vocab(vocab)
-        self.spm.SetVocabulary(vocab._itos)  # pylint: disable=protected-access
+        self.spm.SetVocabulary(vocab._tokens)  # pylint: disable=protected-access
 
     def copy_cfg_file(self, model_dir: Path) -> None:
-        """joeynmt/tokenizers.py:267-274."""
-        if (model_dir / self.model_file.name).is_file():
-            logger.warning("%s already exists. Stop copying.",
-                           (model_dir / self.model_file.name).as_posix())
+        """Persist the spm model next to the config
+        (joeynmt/tokenizers.py:267-274)."""
+        dest = model_dir / self.model_file.name
+        if dest.is_file():
+            logger.warning("%s already exists. Stop copying.", dest.as_posix())
             return
-        shutil.copy2(self.model_file, (model_dir / self.model_file.name).as_posix())
+        shutil.copy2(self.model_file, dest.as_posix())
 
     def __repr__(self):
-        return (f"{self.__class__.__name__}(level={self.level}, "
-                f"lowercase={self.lowercase}, normalize={self.normalize}, "
-                f"filter_by_length=({self.min_length}, {self.max_length}), "
-                f"pretokenizer={self.pretokenizer}, "
+        return (f"{self.__class__.__name__}({self._describe()}, "
                 f"tokenizer={self.spm.__class__.__name__}, "
                 f"nbest_size={self.nbest_size}, alpha={self.alpha})")
 
@@ -232,10 +254,13 @@ class SubwordNMTTokenizer(BasicTokenizer):
     """subword-nmt-style BPE via the first-party implementation
     (joeynmt/tokenizers.py:287-387)."""
 
+    _PROMPT_KEEPS_SEP = True
+
     def __init__(self, level: str = "bpe", lowercase: bool = False,
                  normalize: bool = False, max_length: int = -1,
                  min_length: int = -1, **kwargs):
-        super().__init__(level, lowercase, normalize, max_length, min_length, **kwargs)
+        super().__init__(level, lowercase, normalize, max_length, min_length,
+                         **kwargs)
         assert self.level == "bpe"
         codes_file = Path(kwargs["codes"])
         assert codes_file.is_file(), f"codes file {codes_file} not found."
@@ -246,48 +271,31 @@ class SubwordNMTTokenizer(BasicTokenizer):
         self.bpe.glossaries = list(kwargs.get("glossaries") or [])
         self.codes: Path = codes_file
 
-    def __call__(self, raw_input: str, is_train: bool = False) -> List[str]:
-        if raw_input is None:
-            return None
+    def _segment(self, text: str, is_train: bool) -> List[str]:
         dropout = self.dropout if is_train else 0.0
-        tokenized = self.bpe.process_line(raw_input, dropout).strip().split()
-        if is_train and self._filter_by_length(len(tokenized)):
-            return None
-        return tokenized
+        return self.bpe.process_line(text, dropout).strip().split()
 
-    def post_process(self, sequence: Union[List[str], str],
-                     generate_unk: bool = True, cut_at_sep: bool = True) -> str:
-        """joeynmt/tokenizers.py:334-367."""
-        if isinstance(sequence, list):
-            if cut_at_sep and getattr(self, "sep_token", None):
-                try:
-                    sep_pos = sequence.index(self.sep_token)
-                    sequence = sequence[sep_pos:]
-                except ValueError:
-                    pass
-            sequence = self._remove_special(sequence, generate_unk=generate_unk)
-            sequence = self.SPACE.join(sequence).replace(self.separator + self.SPACE, "")
-            if sequence.endswith(self.separator):
-                sequence = sequence[:-len(self.separator)]
+    def _join(self, pieces: List[str]) -> str:
+        text = _SPACE.join(pieces).replace(self.separator + _SPACE, "")
+        if text.endswith(self.separator):
+            text = text[:-len(self.separator)]
+        return text
+
+    def _post_join(self, text: str) -> str:
         if self.pretokenizer == "moses":
-            sequence = self.moses_detokenizer.detokenize(sequence.split())
-        if self.normalize:
-            sequence = remove_extra_spaces(sequence)
-        assert sequence is not None and len(sequence) > 0, sequence
-        return sequence
+            text = self.moses_detokenizer.detokenize(text.split())
+        return text
 
     def set_vocab(self, vocab) -> None:
         super().set_vocab(vocab)
-        self.bpe.vocab = set(vocab._itos) - set(vocab.specials) - set(vocab.lang_tags)
+        self.bpe.vocab = (set(vocab._tokens) - set(vocab.specials)  # pylint: disable=protected-access
+                          - set(vocab.lang_tags))
 
     def copy_cfg_file(self, model_dir: Path) -> None:
         shutil.copy2(self.codes, (model_dir / self.codes.name).as_posix())
 
     def __repr__(self):
-        return (f"{self.__class__.__name__}(level={self.level}, "
-                f"lowercase={self.lowercase}, normalize={self.normalize}, "
-                f"filter_by_length=({self.min_length}, {self.max_length}), "
-                f"pretokenizer={self.pretokenizer}, "
+        return (f"{self.__class__.__name__}({self._describe()}, "
                 f"separator={self.separator}, dropout={self.dropout})")
 
 
@@ -299,7 +307,8 @@ class FastBPETokenizer(SubwordNMTTokenizer):
                  normalize: bool = False, max_length: int = -1,
                  min_length: int = -1, **kwargs):
         kwargs.setdefault("separator", "@@")
-        super().__init__(level, lowercase, normalize, max_length, min_length, **kwargs)
+        super().__init__(level, lowercase, normalize, max_length, min_length,
+                         **kwargs)
         self.dropout = 0.0
 
 
@@ -315,39 +324,36 @@ class SpeechProcessor:
         self.normalize = normalize
         self.max_length = max_length
         self.min_length = min_length
-        self.specaugment: Callable = SpecAugment(**kwargs["specaugment"]) \
-            if "specaugment" in kwargs else None
+        self.specaugment: Callable = (SpecAugment(**kwargs["specaugment"])
+                                      if "specaugment" in kwargs else None)
         self.cmvn: Callable = CMVN(**kwargs["cmvn"]) if "cmvn" in kwargs else None
         self.root_path = ""  # assigned later in dataset.__init__()
 
     def __call__(self, line: str, is_train: bool = False) -> np.ndarray:
-        """Feature lookup -> (num_frames, num_freq) or None if filtered."""
-        item = get_features(self.root_path, line)
-        num_frames_, num_freq = item.shape
-        assert num_freq == self.num_freq
+        """Feature lookup -> (num_frames, num_freq) or None if filtered.
 
-        if self._filter_too_short_item(num_frames_):
-            return None  # cannot be convolved; filtered even at test time
-        if self._filter_too_long_item(num_frames_):
+        Too-short utterances are dropped even at test time (they cannot be
+        convolved by the subsampler); too-long ones are dropped in training
+        and truncated in inference. CMVN may run before or after SpecAugment
+        per its `before` flag."""
+        feats = get_features(self.root_path, line)
+        n_frames = feats.shape[0]
+        assert feats.shape[1] == self.num_freq
+
+        if 0 < n_frames < self.min_length:
+            return None
+        if self.max_length > 0 and n_frames > self.max_length:
             if is_train:
                 return None
-            item = item[:self.max_length, :]  # test: truncate
-            num_frames_ = item.shape[0]
-            assert num_frames_ <= self.max_length
+            feats = feats[:self.max_length, :]
 
         if self.cmvn and self.cmvn.before:
-            item = self.cmvn(item)
+            feats = self.cmvn(feats)
         if is_train and self.specaugment:
-            item = self.specaugment(item)
+            feats = self.specaugment(feats)
         if self.cmvn and not self.cmvn.before:
-            item = self.cmvn(item)
-        return item
-
-    def _filter_too_short_item(self, length: int) -> bool:
-        return self.min_length > length > 0
-
-    def _filter_too_long_item(self, length: int) -> bool:
-        return length > self.max_length > 0
+            feats = self.cmvn(feats)
+        return feats
 
     def set_vocab(self, vocab) -> None:
         pass
@@ -368,22 +374,24 @@ class EvaluationTokenizer(BasicTokenizer):
 
     ALL_TOKENIZER_TYPES = ["none", "13a", "intl", "zh", "ja-mecab"]
 
-    def __init__(self, lowercase: bool = False, tokenize: str = "13a", **kwargs):
+    def __init__(self, lowercase: bool = False, tokenize: str = "13a",
+                 **kwargs):
         super().__init__(level="word", lowercase=lowercase, normalize=False,
                          max_length=-1, min_length=-1)
-        assert tokenize in self.ALL_TOKENIZER_TYPES, f"`{tokenize}` not supported."
+        assert tokenize in self.ALL_TOKENIZER_TYPES, \
+            f"`{tokenize}` not supported."
         from sacrebleu.metrics.bleu import _get_tokenizer
 
         self.tokenizer = _get_tokenizer(tokenize)()
         self.no_punc = kwargs.get("no_punc", False)
 
     def __call__(self, raw_input: str, is_train: bool = False) -> List[str]:
-        tokenized = self.tokenizer(raw_input)
+        text = self.tokenizer(raw_input)
         if self.lowercase:
-            tokenized = tokenized.lower()
+            text = text.lower()
         if self.no_punc:
-            tokenized = remove_punctuation(tokenized, space=self.SPACE)
-        return tokenized.split()
+            text = remove_punctuation(text, space=_SPACE)
+        return text.split()
 
     def __repr__(self):
         return (f"{self.__class__.__name__}(level={self.level}, "
@@ -391,56 +399,48 @@ class EvaluationTokenizer(BasicTokenizer):
                 f"no_punc={self.no_punc})")
 
 
+_BPE_BACKENDS = {
+    "sentencepiece": (SentencePieceTokenizer, "model_file"),
+    "subword-nmt": (SubwordNMTTokenizer, "codes"),
+    "fastbpe": (FastBPETokenizer, "codes"),
+}
+
+
 def _build_tokenizer(cfg: Dict) -> BasicTokenizer:
-    """joeynmt/tokenizers.py:556-625."""
-    tokenizer = None
-    tokenizer_cfg = cfg.get("tokenizer_cfg", {})
-
-    if tokenizer_cfg.get("pretokenizer", "none") == "moses":
-        tokenizer_cfg["lang"] = cfg["lang"]
-
+    """One side's tokenizer from its data-config section
+    (joeynmt/tokenizers.py:556-625)."""
+    level = cfg["level"]
+    extra = cfg.get("tokenizer_cfg", {})
+    if extra.get("pretokenizer", "none") == "moses":
+        extra["lang"] = cfg["lang"]
     common = dict(
-        level=cfg["level"],
+        level=level,
         lowercase=cfg.get("lowercase", False),
         normalize=cfg.get("normalize", False),
         max_length=cfg.get("max_length", -1),
         min_length=cfg.get("min_length", -1),
     )
-    if cfg["level"] in ["word", "char"]:
-        tokenizer = BasicTokenizer(**common, **tokenizer_cfg)
-    elif cfg["level"] == "bpe":
-        tokenizer_type = cfg.get("tokenizer_type", cfg.get("bpe_type", "sentencepiece"))
-        if tokenizer_type == "sentencepiece":
-            assert "model_file" in tokenizer_cfg
-            tokenizer = SentencePieceTokenizer(**common, **tokenizer_cfg)
-        elif tokenizer_type == "subword-nmt":
-            assert "codes" in tokenizer_cfg
-            tokenizer = SubwordNMTTokenizer(**common, **tokenizer_cfg)
-        elif tokenizer_type == "fastbpe":
-            assert "codes" in tokenizer_cfg
-            tokenizer = FastBPETokenizer(**common, **tokenizer_cfg)
-        else:
+
+    if level in ("word", "char"):
+        return BasicTokenizer(**common, **extra)
+    if level == "bpe":
+        backend = cfg.get("tokenizer_type", cfg.get("bpe_type", "sentencepiece"))
+        if backend not in _BPE_BACKENDS:
             raise ConfigurationError(
-                f"{tokenizer_type}: Unknown tokenizer type. "
+                f"{backend}: Unknown tokenizer type. "
                 "Valid options: {'sentencepiece', 'subword-nmt'}.")
-    elif cfg["level"] == "frame":
-        tokenizer = SpeechProcessor(
-            level=cfg["level"],
-            num_freq=cfg["num_freq"],
-            normalize=cfg.get("normalize", False),
-            max_length=cfg.get("max_length", -1),
-            min_length=cfg.get("min_length", -1),
-            **tokenizer_cfg,
-        )
-    else:
-        raise ConfigurationError(
-            f"{cfg['level']}: Unknown tokenization level. "
-            "Valid options: {'word', 'bpe', 'char'}.")
-    return tokenizer
+        cls, required_key = _BPE_BACKENDS[backend]
+        assert required_key in extra
+        return cls(**common, **extra)
+    if level == "frame":
+        return SpeechProcessor(num_freq=cfg["num_freq"], **common, **extra)
+    raise ConfigurationError(
+        f"{level}: Unknown tokenization level. "
+        "Valid options: {'word', 'bpe', 'char'}.")
 
 
 def build_tokenizer(cfg: Dict, task: str) -> Dict[str, BasicTokenizer]:
-    """joeynmt/tokenizers.py:628-637."""
+    """Both sides keyed by language (joeynmt/tokenizers.py:628-637)."""
     src_lang = cfg["src"]["lang"] if task == "MT" else "src"
     trg_lang = cfg["trg"]["lang"] if task == "MT" else "trg"
     tokenizer = {

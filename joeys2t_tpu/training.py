@@ -760,10 +760,16 @@ class TrainManager:
         globally-agreed (src_len, trg_len, target_b) in multi-host runs."""
         nseqs_real, ntokens_real = batch.nseqs, batch.ntokens
         dp = self.mesh.mesh.shape["data"]
+        # GPipe splits the batch into microbatches before the `data` shard,
+        # so each batch must divide microbatches * dp — pad up to that here
+        # rather than dying on a trace-time assert inside the jitted step
+        # (token batching and epoch-tail batches have variable sizes)
+        quantum = dp * (self._pp_microbatches if self._pp else 1)
         target_b = max(self.args.batch_size, nseqs_real)
-        target_b = int(np.ceil(target_b / dp) * dp)
+        target_b = int(np.ceil(target_b / quantum) * quantum)
         if sync_dims is not None:
             src_len, trg_len, tb = sync_dims
+            tb = int(np.ceil(tb / quantum) * quantum)
             padded = batch.pad_to_shape(batch_size=max(target_b, tb),
                                         src_len=src_len,
                                         trg_len=trg_len or None)

@@ -4,8 +4,9 @@ Vocabulary: token <-> id mapping.
 
 Behavioral parity with joeynmt/vocabulary.py:20-301 (specials + lang_tags
 prefix ordering, file round-trip, sentences_to_ids with prompt_mask from the
-<sep> position, arrays_to_sentences cut-at-eos, sort_and_cut frequency-then-
-alphabetical vocabulary construction).
+<sep> position, arrays_to_sentences cut-at-eos, frequency-then-alphabetical
+vocabulary construction) — the id layout is the compatibility contract with
+published checkpoints; everything else here is this codebase's own design.
 """
 import sys
 from collections import Counter
@@ -22,105 +23,108 @@ logger = get_logger(__name__)
 
 
 class Vocabulary:
-    """Mapping between tokens and indices (joeynmt/vocabulary.py:20)."""
+    """Immutable token <-> id table.
+
+    Id layout (the checkpoint contract): specials first in the order
+    unk/pad/bos/eos[/sep], then language tags, then the corpus tokens in
+    the order given — duplicates keep their first id.
+    """
 
     def __init__(self, tokens: List[str], cfg: SpecialSymbols) -> None:
-        self.specials = [cfg.unk_token, cfg.pad_token, cfg.bos_token, cfg.eos_token]
+        core = [cfg.unk_token, cfg.pad_token, cfg.bos_token, cfg.eos_token]
+        self.specials = core + ([cfg.sep_token] if cfg.sep_token else [])
         self.lang_tags = list(cfg.lang_tags)
-        if cfg.sep_token:
-            self.specials.append(cfg.sep_token)
 
-        self._stoi: Dict[str, int] = {}
-        self._itos: List[str] = []
-        self.add_tokens(tokens=self.specials + self.lang_tags + tokens)
-        assert len(self._stoi) == len(self._itos)
+        self._tokens: List[str] = []
+        self._ids: Dict[str, int] = {}
+        for tok in (*self.specials, *self.lang_tags, *tokens):
+            if tok not in self._ids:
+                self._ids[tok] = len(self._tokens)
+                self._tokens.append(tok)
 
+        self.unk_index = cfg.unk_id
         self.pad_index = cfg.pad_id
         self.bos_index = cfg.bos_id
         self.eos_index = cfg.eos_id
-        self.unk_index = cfg.unk_id
         self.sep_index = cfg.sep_id if cfg.sep_token else None
-        assert self.pad_index == self.lookup(cfg.pad_token)
-        assert self.bos_index == self.lookup(cfg.bos_token)
-        assert self.eos_index == self.lookup(cfg.eos_token)
-        assert self.unk_index == self.lookup(cfg.unk_token)
-        assert self._itos[cfg.unk_id] == cfg.unk_token
+        # the configured ids must land exactly where construction put the
+        # special tokens — a mismatched YAML would silently corrupt decoding
+        expected = dict(zip(core, (cfg.unk_id, cfg.pad_id, cfg.bos_id,
+                                   cfg.eos_id)))
         if cfg.sep_token:
-            assert self.sep_index == self.lookup(cfg.sep_token)
+            expected[cfg.sep_token] = cfg.sep_id
+        for tok, want in expected.items():
+            assert self._ids[tok] == want, (tok, want, self._ids[tok])
+        assert self._tokens[cfg.unk_id] == cfg.unk_token
 
-    def add_tokens(self, tokens: List[str]) -> None:
-        for t in tokens:
-            new_index = len(self._itos)
-            if t not in self._stoi:
-                self._itos.append(t)
-                self._stoi[t] = new_index
-
-    def to_file(self, file: Path) -> None:
-        write_list_to_file(file, self._itos)
+    # ------------------------------------------------------------- lookups
+    def lookup(self, token: str) -> int:
+        """Token id, or unk for out-of-vocabulary surface forms."""
+        return self._ids.get(token, self.unk_index)
 
     def is_unk(self, token: str) -> bool:
         return self.lookup(token) == self.unk_index
 
-    def lookup(self, token: str) -> int:
-        return self._stoi.get(token, self.unk_index)
-
     def __len__(self) -> int:
-        return len(self._itos)
+        return len(self._tokens)
 
     def __eq__(self, other) -> bool:
-        if isinstance(other, Vocabulary):
-            return self._itos == other._itos
-        return False
+        return (isinstance(other, Vocabulary)
+                and self._tokens == other._tokens)
 
-    def _array_to_sentence(self, array: np.ndarray, cut_at_eos: bool = True,
-                           skip_pad: bool = True) -> List[str]:
-        """joeynmt/vocabulary.py:109-135 — break at the position AFTER eos."""
-        sentence = []
-        for i in array:
-            i = int(i)
-            if skip_pad and i == self.pad_index:
-                continue
-            sentence.append(self._itos[i])
-            if cut_at_eos and i == self.eos_index:
-                break
-        return sentence
+    def to_file(self, file: Path) -> None:
+        """One token per line; line number == id (round-trips via voc_file)."""
+        write_list_to_file(file, self._tokens)
 
-    def arrays_to_sentences(self, arrays: np.ndarray, cut_at_eos: bool = True,
-                            skip_pad: bool = True) -> List[List[str]]:
-        return [self._array_to_sentence(array, cut_at_eos, skip_pad) for array in arrays]
-
+    # ------------------------------------------------------------ encoding
     def sentences_to_ids(
         self,
         sentences: List[List[str]],
         bos: bool = True,
         eos: bool = True,
     ) -> Tuple[List[List[int]], List[int], List[List[int]]]:
-        """Encode + pad + prompt_mask from <sep> position
-        (joeynmt/vocabulary.py:156-196)."""
-        max_len = max(len(sent) for sent in sentences)
-        if bos:
-            max_len += 1
-        if eos:
-            max_len += 1
-        padded, lengths, prompt_mask = [], [], []
+        """Encode a batch of token lists to padded id rows.
+
+        Returns (padded ids, true lengths, prompt masks). The prompt mask
+        marks positions up to AND INCLUDING the first <sep> with 1 — the
+        forced-decoding prefix for `<sep>`-delimited prompts
+        (joeynmt/vocabulary.py:156-196 defines this contract).
+        """
+        extra = int(bos) + int(eos)
+        width = extra + max(len(s) for s in sentences)
+        head = [self.bos_index] if bos else []
+        tail = [self.eos_index] if eos else []
+
+        rows, lengths, masks = [], [], []
         for sent in sentences:
-            encoded = [self.lookup(s) for s in sent]
-            if bos:
-                encoded = [self.bos_index] + encoded
-            if eos:
-                encoded = encoded + [self.eos_index]
-            offset = max(0, max_len - len(encoded))
-            padded.append(encoded + [self.pad_index] * offset)
-            lengths.append(len(encoded))
-            if self.sep_index is not None and self.sep_index in encoded:
-                sep_pos = encoded.index(self.sep_index) + 1
-                prompt_mask.append([1] * sep_pos + [0] * (max_len - sep_pos))
-            else:
-                prompt_mask.append([0] * max_len)
-        return padded, lengths, prompt_mask
+            ids = head + [self.lookup(t) for t in sent] + tail
+            lengths.append(len(ids))
+            rows.append(ids + [self.pad_index] * (width - len(ids)))
+            prompt_end = 0
+            if self.sep_index is not None and self.sep_index in ids:
+                prompt_end = ids.index(self.sep_index) + 1
+            masks.append([1] * prompt_end + [0] * (width - prompt_end))
+        return rows, lengths, masks
+
+    # ------------------------------------------------------------ decoding
+    def arrays_to_sentences(self, arrays: np.ndarray, cut_at_eos: bool = True,
+                            skip_pad: bool = True) -> List[List[str]]:
+        """Id rows back to token lists: keep everything up to and including
+        the first eos (when cutting), with pads dropped."""
+        out = []
+        for row in arrays:
+            row = np.asarray(row).ravel()
+            if cut_at_eos:
+                hits = np.flatnonzero(row == self.eos_index)
+                if hits.size:
+                    row = row[:hits[0] + 1]
+            if skip_pad:
+                row = row[row != self.pad_index]
+            out.append([self._tokens[int(i)] for i in row])
+        return out
 
     def log_vocab(self, k: int) -> str:
-        return " ".join(f"({i}) {t}" for i, t in enumerate(self._itos[:k]))
+        return " ".join(f"({i}) {t}" for i, t in enumerate(self._tokens[:k]))
 
     def __repr__(self) -> str:
         return (f"{self.__class__.__name__}(len={len(self)}, "
@@ -129,57 +133,67 @@ class Vocabulary:
 
 def sort_and_cut(counter: Counter, max_size: int = sys.maxsize,
                  min_freq: int = -1) -> List[str]:
-    """Most-frequent-first, ties alphabetical (joeynmt/vocabulary.py:209-230)."""
+    """Vocabulary order from corpus counts: frequency descending, ties
+    alphabetical — one composite-key sort (the reference reaches the same
+    order with two stable passes, joeynmt/vocabulary.py:209-230)."""
+    items = counter.items()
     if min_freq > -1:
-        counter = Counter({t: c for t, c in counter.items() if c >= min_freq})
-    tokens_and_frequencies = sorted(counter.items(), key=lambda tup: tup[0])
-    tokens_and_frequencies.sort(key=lambda tup: tup[1], reverse=True)
-    vocab_tokens = [i[0] for i in tokens_and_frequencies[:max_size]]
-    assert len(vocab_tokens) <= max_size, (len(vocab_tokens), max_size)
-    return vocab_tokens
+        items = [kv for kv in items if kv[1] >= min_freq]
+    ranked = sorted(items, key=lambda kv: (-kv[1], kv[0]))
+    return [tok for tok, _ in ranked[:max_size]]
 
 
 def _build_vocab(cfg: Dict, special_symbols: SpecialSymbols,
                  dataset=None) -> Vocabulary:
-    """Build from vocab file or dataset tokens (joeynmt/vocabulary.py:233-272)."""
-    vocab_file = cfg.get("voc_file", None)
-    min_freq = cfg.get("voc_min_freq", 1)
+    """One side's vocabulary: from voc_file when given, else counted from
+    the (full, unsubsampled) training data (joeynmt/vocabulary.py:233-272)."""
     max_size = int(cfg.get("voc_limit", sys.maxsize))
     assert max_size > 0
 
-    if vocab_file is not None:
-        unique_tokens = read_list_from_file(Path(vocab_file))
+    voc_file = cfg.get("voc_file", None)
+    if voc_file is not None:
+        tokens = read_list_from_file(Path(voc_file))
     elif dataset is not None:
-        sents = dataset.get_list(lang=cfg["lang"], tokenized=True, subsampled=False)
-        counter = Counter(flatten(sents))
-        unique_tokens = sort_and_cut(counter, max_size, min_freq)
+        corpus = dataset.get_list(lang=cfg["lang"], tokenized=True,
+                                  subsampled=False)
+        tokens = sort_and_cut(Counter(flatten(corpus)), max_size,
+                              cfg.get("voc_min_freq", 1))
     else:
         raise ValueError("Please provide a vocab file path or dataset.")
 
-    vocab = Vocabulary(unique_tokens, special_symbols)
-    assert len(vocab) <= max_size + len(vocab.specials + vocab.lang_tags), (len(vocab), max_size)
+    vocab = Vocabulary(tokens, special_symbols)
+    n_reserved = len(vocab.specials) + len(vocab.lang_tags)
+    assert len(vocab) <= max_size + n_reserved, (len(vocab), max_size)
+    # every reserved token except unk itself must resolve to a real id
     for s in vocab.specials[1:] + vocab.lang_tags:
         assert not vocab.is_unk(s)
     return vocab
 
 
 def build_vocab(cfg: Dict, task: str, dataset=None,
-                model_dir: Optional[Path] = None) -> Tuple[Optional[Vocabulary], Vocabulary]:
-    """joeynmt/vocabulary.py:275-301 — (src_vocab or None for S2T, trg_vocab)."""
-    if task == "MT" and (model_dir is not None and cfg["src"].get("voc_file", None) is None):
-        assert (model_dir / "src_vocab.txt").is_file()
-        cfg["src"]["voc_file"] = (model_dir / "src_vocab.txt").as_posix()
-    if model_dir is not None and cfg["trg"].get("voc_file", None) is None:
-        assert (model_dir / "trg_vocab.txt").is_file()
-        cfg["trg"]["voc_file"] = (model_dir / "trg_vocab.txt").as_posix()
+                model_dir: Optional[Path] = None
+                ) -> Tuple[Optional[Vocabulary], Vocabulary]:
+    """(src_vocab or None for S2T, trg_vocab) — joeynmt/vocabulary.py:275-301.
 
-    special_symbols = cfg["special_symbols"]
-    src_vocab = _build_vocab(cfg["src"], special_symbols, dataset) if task == "MT" else None
-    trg_vocab = _build_vocab(cfg["trg"], special_symbols, dataset)
+    When resuming from a model_dir, sides without an explicit voc_file fall
+    back to the persisted {src,trg}_vocab.txt so resumed runs can never
+    rebuild a different id layout.
+    """
+    persisted = {"src": "src_vocab.txt", "trg": "trg_vocab.txt"}
+    for side, fname in persisted.items():
+        if side == "src" and task != "MT":
+            continue
+        if model_dir is not None and cfg[side].get("voc_file", None) is None:
+            saved = model_dir / fname
+            assert saved.is_file()
+            cfg[side]["voc_file"] = saved.as_posix()
 
-    if task == "MT":
-        assert src_vocab.pad_index == trg_vocab.pad_index
-        assert src_vocab.bos_index == trg_vocab.bos_index
-        assert src_vocab.eos_index == trg_vocab.eos_index
-        assert src_vocab.sep_index == trg_vocab.sep_index
+    symbols = cfg["special_symbols"]
+    src_vocab = (_build_vocab(cfg["src"], symbols, dataset)
+                 if task == "MT" else None)
+    trg_vocab = _build_vocab(cfg["trg"], symbols, dataset)
+
+    if src_vocab is not None:
+        for attr in ("pad_index", "bos_index", "eos_index", "sep_index"):
+            assert getattr(src_vocab, attr) == getattr(trg_vocab, attr), attr
     return src_vocab, trg_vocab

@@ -56,28 +56,51 @@ def _cache_dir() -> Path:
     return d
 
 
+def _snapshot_complete(snapshot: Path, cfg_name: str) -> bool:
+    """A usable cached snapshot has the entry's config plus a checkpoint —
+    `any(iterdir())` is not enough: a failed download can leave metadata or
+    partial files behind, which must not count as a cache hit."""
+    return (snapshot.is_dir() and (snapshot / cfg_name).is_file()
+            and any(snapshot.glob("*.ckpt")))
+
+
 def _download_and_extract(name: str) -> Path:
     """Materialize the snapshot dir for a zoo entry, attempting the entry's
     primary source first and the other as fallback (reference
     hubconf.py:41-107 `_download_and_extract` + :80-107
     `_load_from_huggingface`): Heidelberg URL tarball <-> huggingface-hub
-    snapshot (repo ``may-ohta/<base>``)."""
-    base, _, _, primary = ENTRIES[name]
+    snapshot (repo ``may-ohta/<base>``).
+
+    Each source downloads into a fresh staging dir that is atomically
+    renamed to the cache path only on success, so a transient transport
+    failure can never poison the cache with a half-written snapshot."""
+    base, _, cfg_name, primary = ENTRIES[name]
     target = _cache_dir() / name
-    if target.is_dir() and any(target.iterdir()):
+    if _snapshot_complete(target, cfg_name):
         return target
+    if target.exists():
+        logger.warning("Discarding incomplete cached snapshot %s", target)
+        shutil.rmtree(target, ignore_errors=True)
 
     sources = (("hf", "remote") if primary == "hf" else ("remote", "hf"))
     errors = []
     for source in sources:
         fetch = (_fetch_remote_tarball if source == "remote"
                  else _fetch_hf_snapshot)
+        staging = _cache_dir() / f"_staging_{name}"
+        shutil.rmtree(staging, ignore_errors=True)
         try:
-            fetch(base, target)
+            fetch(base, staging)
+            if not _snapshot_complete(staging, cfg_name):
+                raise RuntimeError(
+                    f"snapshot is missing {cfg_name} or a *.ckpt file")
+            staging.replace(target)
             return target
         except Exception as e:  # noqa: BLE001 — collect, try next source
             errors.append(f"{source}: {e}")
             logger.warning("zoo source %s failed for %s: %s", source, name, e)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     raise RuntimeError(
         f"Could not fetch '{name}' from any source ({'; '.join(errors)}). "
         f"In offline environments, place the extracted snapshot at {target} "

@@ -71,6 +71,15 @@ class TestTrainArgs:
         with pytest.raises(ConfigurationError):
             parse_train_args(self.base(feature_dtype="float16"))
 
+    def test_moment_dtype_knob(self):
+        # a typo must fail at parse time, not as a TypeError from
+        # jnp.dtype() when the optimizer is built
+        assert parse_train_args(self.base()).moment_dtype is None
+        args = parse_train_args(self.base(moment_dtype="BFLOAT16"))
+        assert args.moment_dtype == "bfloat16"
+        with pytest.raises(ConfigurationError):
+            parse_train_args(self.base(moment_dtype="bf16"))
+
 
 class TestTestArgs:
     def test_defaults(self):
@@ -111,6 +120,21 @@ class TestTestArgs:
         assert args.beam_reorder == "physical"
         with pytest.raises(ConfigurationError):
             parse_test_args({"beam_reorder": "eager"}, mode="train")
+
+    def test_beam_reorder_env_override(self, monkeypatch):
+        # the env var beats the YAML, and is resolved at parse time — the
+        # decode hot path (search.beam_search) never reads the environment
+        monkeypatch.setenv("JOEYS2T_BEAM_REORDER", "lazy")
+        args = parse_test_args({"beam_reorder": "physical"}, mode="train")
+        assert args.beam_reorder == "lazy"
+        monkeypatch.setenv("JOEYS2T_BEAM_REORDER", "bogus")
+        with pytest.raises(ConfigurationError):
+            parse_test_args({}, mode="train")
+        import inspect
+
+        from joeys2t_tpu import search
+
+        assert "environ" not in inspect.getsource(search)
 
     def test_validation_overrides(self):
         args = parse_test_args({"beam_size": 5, "n_best": 3,

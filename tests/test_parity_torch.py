@@ -462,6 +462,72 @@ def test_zoo_huggingface_fallback_order(ref_modules, tmp_path, monkeypatch):
 
 
 @needs_ref
+def test_zoo_poisoned_cache_is_refetched(ref_modules, tmp_path, monkeypatch):
+    """A failed/partial download must not poison the cache: leftover files
+    under the cache path (e.g. huggingface metadata from an aborted
+    snapshot_download) are discarded and the entry is re-fetched; the cache
+    hit requires the entry's config plus a checkpoint, not any(iterdir())."""
+    import tarfile
+    import urllib.request
+
+    from joeys2t_tpu import zoo
+
+    snap = _make_torch_snapshot(tmp_path / "wmt14_deen",
+                                ckpt_name="avg5.ckpt", stale_paths=True)
+    archive = tmp_path / "wmt14_deen.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(snap, arcname="wmt14_deen")
+
+    cache = tmp_path / "cache"
+    # a broken previous attempt: non-empty dir without config/ckpt
+    broken = cache / "wmt14_deen" / ".cache" / "huggingface"
+    broken.mkdir(parents=True)
+    (broken / "download_in_progress").write_text("partial")
+    monkeypatch.setattr(zoo, "_cache_dir", lambda: cache)
+
+    fetched = []
+
+    def fake_urlretrieve(url, filename):
+        fetched.append(url)
+        import shutil as _sh
+
+        _sh.copy(archive, filename)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+
+    hub = zoo.load("wmt14_deen")  # broken dir discarded, re-fetched
+    assert fetched == [f"{zoo.BASE_URL}/wmt14_deen.tar.gz"]
+    assert not (cache / "wmt14_deen" / ".cache").exists()
+    assert len(hub.generate(["3 5 7"])) == 1
+
+    # a source that "succeeds" but delivers an unusable snapshot must not
+    # be installed into the cache either
+    def junk_urlretrieve(url, filename):
+        raise OSError("unreachable")
+
+    import huggingface_hub
+
+    def junk_snapshot_download(repo_id, local_dir, **kwargs):
+        Path(local_dir).mkdir(parents=True, exist_ok=True)
+        (Path(local_dir) / "README.md").write_text("no ckpt here")
+        return str(local_dir)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", junk_urlretrieve)
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        junk_snapshot_download)
+    import shutil as _sh
+
+    _sh.rmtree(cache / "wmt14_deen")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="any source"):
+        zoo.load("wmt14_deen")
+    # nothing half-written left behind under the cache entry path
+    assert not (cache / "wmt14_deen").exists()
+    assert not (cache / "_staging_wmt14_deen").exists()
+
+
+@needs_ref
 def test_conformer_encoder_parity(ref_modules):
     """Converted conformer checkpoints (BatchNorm running stats mapped to
     inference-form batch_norm_* params, conv_norm_type="batchnorm") match the
