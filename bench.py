@@ -417,9 +417,11 @@ SECTION_ORDER = ("greedy", "train", "conformer_train", "beam", "int8",
 
 # per-section wall caps (seconds): one runaway section must not starve
 # the rest of the budget. Warm-compile-cache runs finish in a fraction
-# of these; the caps only bite on cold compiles through the relay.
-SECTION_CAPS = {"greedy": 360, "train": 300, "conformer_train": 300,
-                "beam": 300, "int8": 240, "sustained": 300}
+# of these; the caps only bite on cold compiles through the relay
+# (measured cold: greedy ~494s end to end, of which ~457s is the XLA
+# compile of the decode loop).
+SECTION_CAPS = {"greedy": 520, "train": 420, "conformer_train": 360,
+                "beam": 360, "int8": 240, "sustained": 300}
 
 _MARK = "@@BENCH_SECTION@@"
 
@@ -466,8 +468,11 @@ def main():
 
     # Global wall-clock budget. The driver that runs `python bench.py`
     # enforces its own (smaller than 6x1200s) timeout; staying under it
-    # is the only way the final line + rc=0 are both captured.
-    budget = float(os.environ.get("JOEYS2T_BENCH_BUDGET_S", "540"))
+    # is the only way the final line + rc=0 are both captured. Warm
+    # compile-cache runs finish in ~6-8 min; a cold cache costs ~8 min
+    # for the greedy graph ALONE (measured through the relay), which is
+    # why every section also emits the cumulative JSON line as it lands.
+    budget = float(os.environ.get("JOEYS2T_BENCH_BUDGET_S", "900"))
     t0 = time.monotonic()
     detail = {
         "model": "librispeech_100h dims (16L enc, 8L dec, h512, bf16)",

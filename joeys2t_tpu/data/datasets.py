@@ -42,9 +42,18 @@ def _multi_process() -> bool:
         return False
 
 
+def _strip_tag_escape(pieces, tok):
+    """Drop a stray leading space-escape ('▁') when it precedes a language
+    tag — subword models emit it when a tag opens the sequence."""
+    if (pieces is not None and tok is not None and len(pieces) > 1
+            and pieces[0] == tok.SPACE_ESCAPE and pieces[1] in tok.lang_tags):
+        return pieces[1:]
+    return pieces
+
+
 class BaseDataset:
     """Base dataset: holds tokenizers + sequence encoders, subset indices,
-    prompt concatenation (joeynmt/datasets.py:28-335)."""
+    prompt concatenation (behavioral spec: joeynmt/datasets.py:28-335)."""
 
     # pylint: disable=too-many-instance-attributes
 
@@ -61,38 +70,37 @@ class BaseDataset:
         random_subset: int = -1,
         task: str = "MT",
     ):
-        self.path = path
-        self.src_lang = src_lang
-        self.trg_lang = trg_lang
+        self.path, self.split, self.task = path, split, task
+        self.src_lang, self.trg_lang = src_lang, trg_lang
         self.has_trg = has_trg
-        self.split = split
-        if self.split == "train":
-            assert self.has_trg
+        assert self.has_trg or split != "train"
 
         self.tokenizer = tokenizer
         self.sequence_encoder = sequence_encoder
         self.has_prompt = has_prompt
-        assert self.src_lang in self.tokenizer, self.tokenizer
-        assert self.src_lang in self.sequence_encoder, self.sequence_encoder
-        assert self.src_lang in self.has_prompt, self.has_prompt
-        if self.has_trg:
-            assert self.trg_lang in self.tokenizer, self.tokenizer
-            assert self.trg_lang in self.sequence_encoder, self.sequence_encoder
-            assert self.trg_lang in self.has_prompt, self.has_prompt
+        # every per-language table must cover the languages this dataset
+        # will query (src always; trg only when references exist)
+        langs = (src_lang, trg_lang) if has_trg else (src_lang,)
+        for table in (self.tokenizer, self.sequence_encoder, self.has_prompt):
+            missing = [l for l in langs if l not in table]
+            assert not missing, (missing, table)
 
         self.random_subset = random_subset
-        self.indices = None  # kept sorted even when shuffling
+        # `indices` drives every sampler; subsampling replaces it with a
+        # sorted subset (samplers.RandomSubsetSampler) — order randomness
+        # lives in the samplers, never here
+        self.indices = None
         self.seed = 1
-        self.task = task
 
     def reset_indices(self, random_subset: int = None):
-        self.indices = list(range(len(self))) if len(self) > 0 else []
+        n = len(self)
+        self.indices = list(range(n))
         if random_subset is not None:
             self.random_subset = random_subset
-        if 0 < self.random_subset:
-            assert (self.split != "test" and self.random_subset < len(self)), \
-                ("Can only subsample from train or dev set "
-                 f"larger than {self.random_subset}.")
+        if self.random_subset > 0:
+            assert self.split != "test" and self.random_subset < n, \
+                (f"random_subset={self.random_subset} needs a train/dev set "
+                 f"with more than that many examples (got {n}).")
 
     def load_data(self, path: Path, **kwargs) -> Any:
         raise NotImplementedError
@@ -100,26 +108,18 @@ class BaseDataset:
     def get_item(self, idx: int, lang: str, is_train: bool = None) -> List[str]:
         """Tokenize one item; prompt concat `prompt + <sep> + item` with
         truncation (joeynmt/datasets.py:105-140)."""
-
-        def _remove_escape(item):
-            if (item is not None and self.tokenizer[lang] is not None
-                    and len(item) > 1
-                    and item[0] == self.tokenizer[lang].SPACE_ESCAPE
-                    and item[1] in self.tokenizer[lang].lang_tags):
-                return item[1:]
-            return item
-
+        if is_train is None:
+            is_train = self.split == "train"
+        tok = self.tokenizer[lang]
         line, prompt = self.lookup_item(idx, lang)
-        is_train = self.split == "train" if is_train is None else is_train
-        item = _remove_escape(self.tokenizer[lang](line, is_train=is_train))
+        item = _strip_tag_escape(tok(line, is_train=is_train), tok)
 
         if self.has_prompt[lang] and prompt is not None:
             # splice `prompt <sep> item`, truncating the PROMPT (keeping its
             # tail, and a leading language tag if present) so the combined
             # sequence fits the tokenizer's max_length
             # (joeynmt/datasets.py:105-140 semantics)
-            tok = self.tokenizer[lang]
-            prompt = _remove_escape(tok(prompt, is_train=False))
+            prompt = _strip_tag_escape(tok(prompt, is_train=False), tok)
             item = item or []
             limit = tok.max_length
             combined_len = len(prompt) + 1 + len(item)  # +1 for <sep>
@@ -138,11 +138,17 @@ class BaseDataset:
     def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
         raise NotImplementedError
 
+    def _src_example(self, idx: int):
+        """Hook: the source side of one example (speech datasets bypass
+        get_item and run the SpeechProcessor directly)."""
+        return self.get_item(idx=idx, lang=self.src_lang)
+
     def __getitem__(self, idx: Union[int, str]) -> Tuple[int, List[str], List[str]]:
         if idx > len(self):
             raise KeyError
-        src, trg = None, None
-        src = self.get_item(idx=idx, lang=self.src_lang)
+        src = self._src_example(idx)
+        trg = None
+        # a filtered-out target drops the whole pair (src=None marks it)
         if self.has_trg or self.has_prompt[self.trg_lang]:
             trg = self.get_item(idx=idx, lang=self.trg_lang)
             if trg is None:
@@ -155,12 +161,13 @@ class BaseDataset:
 
     @property
     def src(self) -> List[str]:
-        return self.get_list(self.src_lang, tokenized=False, subsampled=True)
+        return self.get_list(self.src_lang)
 
     @property
     def trg(self) -> List[str]:
-        return (self.get_list(self.trg_lang, tokenized=False, subsampled=True)
-                if self.has_trg else [])
+        if not self.has_trg:
+            return []
+        return self.get_list(self.trg_lang)
 
     def collate_fn(self, batch: List[Tuple], pad_index: int,
                    eos_index: int) -> Batch:
@@ -316,22 +323,20 @@ class PlaintextDataset(BaseDataset):
         self.reset_indices()
 
     def load_data(self, path: str, **kwargs) -> Any:
-        def _pre_process(seq, lang):
-            if self.tokenizer[lang] is not None:
-                seq = [self.tokenizer[lang].pre_process(s) for s in seq if len(s) > 0]
-            return seq
-
-        path = Path(path)
-        src_file = path.with_suffix(f"{path.suffix}.{self.src_lang}")
-        assert src_file.is_file(), f"{src_file} not found. Abort."
-        src_list = read_list_from_file(src_file)
-        data = {self.src_lang: _pre_process(src_list, self.src_lang)}
-        if self.has_trg:
-            trg_file = path.with_suffix(f"{path.suffix}.{self.trg_lang}")
-            assert trg_file.is_file(), f"{trg_file} not found. Abort."
-            trg_list = read_list_from_file(trg_file)
-            data[self.trg_lang] = _pre_process(trg_list, self.trg_lang)
-            assert len(src_list) == len(trg_list)
+        # one file per side: <path>.<lang>, cleaned through pre_process
+        base = Path(path)
+        sides = [self.src_lang] + ([self.trg_lang] if self.has_trg else [])
+        data, raw_counts = {}, []
+        for lang in sides:
+            side_file = base.with_suffix(f"{base.suffix}.{lang}")
+            assert side_file.is_file(), f"{side_file} not found. Abort."
+            lines = read_list_from_file(side_file)
+            raw_counts.append(len(lines))
+            tok = self.tokenizer[lang]
+            if tok is not None:
+                lines = [tok.pre_process(s) for s in lines if len(s) > 0]
+            data[lang] = lines
+        assert len(set(raw_counts)) == 1, "src/trg line counts differ"
         return data
 
     def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
@@ -341,15 +346,12 @@ class PlaintextDataset(BaseDataset):
         return line, prompt
 
     def get_list(self, lang, tokenized=False, subsampled=True):
-        indices = self.indices if subsampled else range(len(self))
-        item_list = []
-        for idx in indices:
-            item, _ = self.lookup_item(idx, lang)
-            if tokenized:
-                item = self.tokenizer[lang](item, is_train=False)
-            item_list.append(item)
-        assert len(list(indices)) == len(item_list)
-        return item_list
+        rows = self.indices if subsampled else range(len(self))
+        raw = [self.lookup_item(i, lang)[0] for i in rows]
+        if not tokenized:
+            return raw
+        tok = self.tokenizer[lang]
+        return [tok(line, is_train=False) for line in raw]
 
     def __len__(self) -> int:
         return len(self.data[self.src_lang])
@@ -370,33 +372,31 @@ class TsvDataset(BaseDataset):
         self.reset_indices()
 
     def load_data(self, path: str, **kwargs) -> Any:
-        path = Path(path)
-        file_path = path.with_suffix(f"{path.suffix}.tsv")
-        assert file_path.is_file(), f"{file_path} not found. Abort."
+        base = Path(path)
+        tsv = base.with_suffix(f"{base.suffix}.tsv")
+        assert tsv.is_file(), f"{tsv} not found. Abort."
 
-        df = pd.read_csv(file_path.as_posix(), sep="\t", header=0,
+        df = pd.read_csv(tsv.as_posix(), sep="\t", header=0,
                          encoding="utf-8", index_col=None)
-        df = df.dropna()
-        df = df.reset_index()
+        df = df.dropna().reset_index()
 
         assert self.src_lang in df.columns
-        df[self.src_lang] = df[self.src_lang].apply(
-            self.tokenizer[self.src_lang].pre_process)
-
+        # a reference-less tsv is only legal for test-time decoding
         if self.trg_lang not in df.columns:
             self.has_trg = False
             assert self.split == "test"
-        if self.has_trg:
-            df[self.trg_lang] = df[self.trg_lang].apply(
-                self.tokenizer[self.trg_lang].pre_process)
-        if f"{self.src_lang}_prompt" in df.columns:
-            self.has_prompt[self.src_lang] = True
-            df[f"{self.src_lang}_prompt"] = df[f"{self.src_lang}_prompt"].apply(
-                partial(self.tokenizer[self.src_lang].pre_process, allow_empty=True))
-        if f"{self.trg_lang}_prompt" in df.columns:
-            self.has_prompt[self.trg_lang] = True
-            df[f"{self.trg_lang}_prompt"] = df[f"{self.trg_lang}_prompt"].apply(
-                partial(self.tokenizer[self.trg_lang].pre_process, allow_empty=True))
+
+        sides = [self.src_lang] + ([self.trg_lang] if self.has_trg else [])
+        for lang in sides:
+            df[lang] = df[lang].apply(self.tokenizer[lang].pre_process)
+        # optional "<lang>_prompt" columns switch on prompting per side
+        for lang in (self.src_lang, self.trg_lang):
+            col = f"{lang}_prompt"
+            if col in df.columns:
+                self.has_prompt[lang] = True
+                clean = partial(self.tokenizer[lang].pre_process,
+                                allow_empty=True)
+                df[col] = df[col].apply(clean)
         return df
 
     def lookup_item(self, idx: int, lang: str) -> Tuple[str, str]:
@@ -436,15 +436,16 @@ class SpeechDataset(TsvDataset):
         file_path = path.with_suffix(f"{path.suffix}.tsv")
         assert file_path.is_file(), f"{file_path} not found. Abort."
 
-        dtype = {"id": str, "src": str, "trg": str, "n_frames": int}
-        df = pd.read_csv(file_path.as_posix(), sep="\t", header=0, encoding="utf-8",
-                         escapechar="\\", quoting=3, na_filter=False, dtype=dtype)
+        manifest_types = {"id": str, "src": str, "trg": str, "n_frames": int}
+        df = pd.read_csv(file_path.as_posix(), sep="\t", header=0,
+                         encoding="utf-8", escapechar="\\", quoting=3,
+                         na_filter=False, dtype=manifest_types)
 
-        # instances shorter than the conv kernel cannot be convolved
-        min_length = int(self.tokenizer["src"].min_length)
-        df["n_frames"] = df[df["n_frames"] > min_length]["n_frames"]
-        df = df.replace(r"^\s*$", float("nan"), regex=True)
-        df = df.dropna()
+        # drop rows too short for the conv subsampler (cannot be convolved)
+        # and rows with blank fields, in one NaN sweep
+        min_frames = int(self.tokenizer["src"].min_length)
+        df["n_frames"] = df[df["n_frames"] > min_frames]["n_frames"]
+        df = df.replace(r"^\s*$", float("nan"), regex=True).dropna()
 
         assert "src" in df.columns
         if "trg" not in df.columns:
@@ -452,24 +453,20 @@ class SpeechDataset(TsvDataset):
             assert self.split == "test"
         if self.has_trg:
             df["trg"] = df["trg"].apply(self.tokenizer["trg"].pre_process)
+        # audio has no src prompt; a trg_prompt column switches prompting on
         self.has_prompt["src"] = False
         if "trg_prompt" in df.columns:
             self.has_prompt["trg"] = True
-            df["trg_prompt"] = df["trg_prompt"].apply(
-                partial(self.tokenizer["trg"].pre_process, allow_empty=True))
+            clean = partial(self.tokenizer["trg"].pre_process, allow_empty=True)
+            df["trg_prompt"] = df["trg_prompt"].apply(clean)
         return df
 
-    def __getitem__(self, idx):
-        if idx > len(self):
-            raise KeyError
-        src, trg = None, None
-        src, _ = self.lookup_item(idx=idx, lang="src")
-        src = self.tokenizer["src"](src, is_train=self.split == "train")
-        if self.has_trg or self.has_prompt["trg"]:
-            trg = self.get_item(idx=idx, lang="trg")
-            if trg is None:
-                src = None
-        return idx, src, trg
+    def _src_example(self, idx: int):
+        # feature path -> (T, 80) fbank array via the SpeechProcessor
+        # (filters/truncation/CMVN/SpecAugment applied there)
+        feature_path, _ = self.lookup_item(idx=idx, lang="src")
+        return self.tokenizer["src"](feature_path,
+                                     is_train=self.split == "train")
 
     @property
     def src(self) -> List[str]:
@@ -490,14 +487,17 @@ class StreamDataset(BaseDataset):
         self.cache = []
 
     def _split_at_sep(self, line: str, prompt: str, lang: str, sep_token: str):
-        """joeynmt/datasets.py:701-722."""
-        if (sep_token is not None and line is not None and sep_token in line
-                and prompt is None):
+        """An inline "<prompt> <sep> <text>" input is split into its two
+        parts unless an explicit prompt was already given
+        (joeynmt/datasets.py:701-722 semantics)."""
+        inline_prompt = (prompt is None and sep_token is not None
+                         and line is not None and sep_token in line)
+        if inline_prompt:
             line, prompt = line.split(sep_token)
-        if line:
-            line = self.tokenizer[lang].pre_process(line, allow_empty=False)
+        clean = self.tokenizer[lang].pre_process
+        line = clean(line, allow_empty=False) if line else line
         if prompt:
-            prompt = self.tokenizer[lang].pre_process(prompt, allow_empty=True)
+            prompt = clean(prompt, allow_empty=True)
             self.has_prompt[lang] = True
         return line, prompt
 
@@ -560,17 +560,10 @@ class SpeechStreamDataset(StreamDataset):
         self.cache.append((src_line, trg_line, None, trg_prompt))
         self.reset_indices()
 
-    def __getitem__(self, idx):
-        if idx > len(self):
-            raise KeyError
-        src, trg = None, None
-        src, _ = self.lookup_item(idx=idx, lang="src")
-        src = self.tokenizer["src"](src, is_train=False)
-        if self.has_trg or self.has_prompt["trg"]:
-            trg = self.get_item(idx=idx, lang="trg")
-            if trg is None:
-                src = None
-        return idx, src, trg
+    def _src_example(self, idx: int):
+        # audio file path -> features; never train mode (stream = inference)
+        wav_path, _ = self.lookup_item(idx=idx, lang="src")
+        return self.tokenizer["src"](wav_path, is_train=False)
 
 
 class BaseHuggingfaceDataset(BaseDataset):
@@ -594,12 +587,16 @@ class BaseHuggingfaceDataset(BaseDataset):
         from datasets import Dataset as Dataset_hf
         from datasets import DatasetDict, config, load_dataset, load_from_disk
 
-        if (Path(path, config.DATASET_STATE_JSON_FILENAME).exists()
-                or Path(path, config.DATASETDICT_JSON_FILENAME).exists()):
+        on_disk = any(
+            Path(path, marker).exists()
+            for marker in (config.DATASET_STATE_JSON_FILENAME,
+                           config.DATASETDICT_JSON_FILENAME))
+        if on_disk:
             hf_dataset = load_from_disk(path)
             if isinstance(hf_dataset, DatasetDict):
-                assert kwargs["split"] in hf_dataset
-                hf_dataset = hf_dataset[kwargs["split"]]
+                split = kwargs["split"]
+                assert split in hf_dataset
+                hf_dataset = hf_dataset[split]
         else:
             hf_dataset = load_dataset(path, **kwargs)
         assert isinstance(hf_dataset, Dataset_hf)
@@ -662,12 +659,9 @@ class HuggingfaceTranslationDataset(BaseHuggingfaceDataset):
             return item
 
         def _drop_nan(item):
-            src_item = item[self.COLUMN_NAME][self.src_lang]
-            is_src_valid = src_item is not None and len(src_item) > 0
-            if self.has_trg:
-                trg_item = item[self.COLUMN_NAME][self.trg_lang]
-                return is_src_valid and trg_item is not None and len(trg_item) > 0
-            return is_src_valid
+            sides = [self.src_lang] + ([self.trg_lang] if self.has_trg else [])
+            cells = (item[self.COLUMN_NAME][lang] for lang in sides)
+            return all(c is not None and len(c) > 0 for c in cells)
 
         dataset = dataset.filter(_drop_nan, desc="Dropping NaN...")
         dataset = dataset.map(_pre_process, desc="Preprocessing...")

@@ -1,7 +1,7 @@
 # coding: utf-8
 """
-Library/model-zoo interface (counterpart of joeynmt/hub_interface.py + the
-hubconf.py entry points).
+Library/model-zoo interface (behavioral counterpart of
+joeynmt/hub_interface.py + the hubconf.py entry points).
 
 `load_model_dir("path/to/pretrained")` -> TranslatorHubInterface with
 .generate() / .score() / .plot_attention(); the named zoo entries in
@@ -27,28 +27,48 @@ from joeys2t_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
 
-PredictionOutput = NamedTuple(
-    "PredictionOutput",
-    [
-        ("translation", List[str]),
-        ("tokens", Optional[List[List[str]]]),
-        ("token_probs", Optional[List[List[float]]]),
-        ("sequence_probs", Optional[List[float]]),
-        ("attention_probs", Optional[List[List[float]]]),
-    ],
-)
+
+class PredictionOutput(NamedTuple):
+    """One input's scored decode: surface text plus (optional) token-level
+    and sequence-level probabilities and cross-attention."""
+
+    translation: List[str]
+    tokens: Optional[List[List[str]]]
+    token_probs: Optional[List[List[float]]]
+    sequence_probs: Optional[List[float]]
+    attention_probs: Optional[List[List[float]]]
 
 
-def _check_file_path(path: Union[str, Path], model_dir: Path) -> Optional[Path]:
-    """Resolve a config-relative file into the snapshot dir
-    (joeynmt/hub_interface.py:38-46)."""
+def _in_snapshot(path: Union[str, Path, None],
+                 model_dir: Path) -> Optional[Path]:
+    """Published configs carry the publisher's absolute paths; remap any
+    file that doesn't exist locally to its basename inside the snapshot
+    (joeynmt/hub_interface.py:38-46 contract)."""
     if path is None:
         return None
-    p = Path(path) if isinstance(path, str) else path
-    if not p.is_file():
-        p = model_dir / p.name
-    assert p.is_file(), p
-    return p
+    candidate = Path(path)
+    if not candidate.is_file():
+        candidate = model_dir / candidate.name
+    assert candidate.is_file(), candidate
+    return candidate
+
+
+def _localize_side_files(cfg: dict, model_dir: Path, task: str) -> None:
+    """Rewrite every per-side file reference (vocab, subword model/codes)
+    into the snapshot dir."""
+    for side in ("src", "trg"):
+        if task == "S2T" and side == "src":
+            assert cfg["data"]["dataset_type"] == "speech"
+            continue
+        section = cfg["data"][side]
+        if section.get("voc_file"):
+            section["voc_file"] = _in_snapshot(
+                section["voc_file"], model_dir).as_posix()
+        tok_cfg = section.get("tokenizer_cfg", {})
+        for key in ("codes", "model_file"):
+            if key in tok_cfg:
+                tok_cfg[key] = _in_snapshot(tok_cfg[key],
+                                            model_dir).as_posix()
 
 
 def _from_pretrained(model_name_or_path: Union[str, Path],
@@ -58,8 +78,7 @@ def _from_pretrained(model_name_or_path: Union[str, Path],
     model_dir = Path(model_name_or_path)
     assert model_dir.is_dir(), model_dir
 
-    cfg_file = _check_file_path(cfg_file, model_dir)
-    cfg = load_config(cfg_file)
+    cfg = load_config(_in_snapshot(cfg_file, model_dir))
     if "load_model" in kwargs:  # convenience: select a checkpoint by name
         cfg.setdefault("testing", {})["load_model"] = kwargs.pop("load_model")
     cfg.update(kwargs)
@@ -70,23 +89,9 @@ def _from_pretrained(model_name_or_path: Union[str, Path],
     task = cfg.get("task", "MT").upper()
     _check_options("task", task, ["MT", "S2T"])
 
-    for side in ["src", "trg"]:
-        if task == "S2T" and side == "src":
-            assert cfg["data"]["dataset_type"] == "speech"
-        else:
-            data_side = cfg["data"][side]
-            if data_side.get("voc_file"):
-                data_side["voc_file"] = _check_file_path(
-                    data_side["voc_file"], model_dir).as_posix()
-            if "tokenizer_cfg" in data_side:
-                for tok_model in ["codes", "model_file"]:
-                    if tok_model in data_side["tokenizer_cfg"]:
-                        data_side["tokenizer_cfg"][tok_model] = _check_file_path(
-                            data_side["tokenizer_cfg"][tok_model],
-                            model_dir).as_posix()
-
+    _localize_side_files(cfg, model_dir, task)
     if cfg["testing"].get("load_model"):
-        cfg["testing"]["load_model"] = _check_file_path(
+        cfg["testing"]["load_model"] = _in_snapshot(
             cfg["testing"]["load_model"], model_dir).as_posix()
 
     args = parse_global_args(cfg, rank=0, mode="translate")
@@ -108,80 +113,75 @@ class TranslatorHubInterface:
         self.params = params
         self.loss_fn = loss_fn
 
+    def generate(self, src: List[str], **kwargs) -> List[str]:
+        """Decode a list of sentences (MT) or audio paths (S2T)."""
+        assert isinstance(src, list), "Please provide a list of sentences!"
+        kwargs["return_prob"] = "none"
+        return self._generate(src, **kwargs)[0]
+
     def score(self, src: List[str], trg: Optional[List[str]] = None,
               **kwargs) -> List[PredictionOutput]:
+        """Score hypotheses (trg=None: decode + hyp probs) or references
+        (trg given: forced-decode probs)."""
         assert isinstance(src, list), "Please provide a list of sentences!"
         kwargs["return_prob"] = "hyp" if trg is None else "ref"
         kwargs["return_attention"] = True
 
         translations, tokens, probs, attn, test_cfg = self._generate(
             src, trg, **kwargs)
-
-        beam_size = test_cfg.get("beam_size", 1)
         n_best = test_cfg.get("n_best", 1)
+        greedy = test_cfg.get("beam_size", 1) == 1
+
+        def rows(seq, i):
+            return seq[i * n_best:(i + 1) * n_best]
 
         out = []
         for i in range(len(src)):
-            offset = i * n_best
-            pred = PredictionOutput(
-                translation=trg[i] if trg else translations[offset:offset + n_best],
-                tokens=tokens[offset:offset + n_best],
-                token_probs=(list(probs[offset:offset + n_best])
-                             if beam_size == 1 and len(probs) else None),
-                sequence_probs=([p[0] for p in probs[offset:offset + n_best]]
-                                if beam_size > 1 and len(probs) else None),
-                attention_probs=(list(attn[offset:offset + n_best])
-                                 if attn else None),
-            )
-            out.append(pred)
+            p = rows(probs, i) if len(probs) else []
+            out.append(PredictionOutput(
+                translation=trg[i] if trg else rows(translations, i),
+                tokens=rows(tokens, i),
+                token_probs=list(p) if greedy and p else None,
+                sequence_probs=[q[0] for q in p] if not greedy and p else None,
+                attention_probs=list(rows(attn, i)) if attn else None,
+            ))
         return out
 
-    def generate(self, src: List[str], **kwargs) -> List[str]:
-        assert isinstance(src, list), "Please provide a list of sentences!"
-        kwargs["return_prob"] = "none"
-        translations, _, _, _, _ = self._generate(src, **kwargs)
-        return translations
+    def _stage_inputs(self, src, trg, src_prompt, trg_prompt) -> None:
+        """Fill the stream dataset's cache with the call's inputs."""
+
+        def per_item(aux, what):
+            if not aux:
+                return [None] * len(src)
+            assert len(aux) == len(src), \
+                f"src and {what} must have the same length!"
+            return aux
+
+        trg = per_item(trg, "trg")
+        src_prompt = per_item(src_prompt, "src_prompt")
+        trg_prompt = per_item(trg_prompt, "trg_prompt")
+        self.dataset.reset_cache()
+        for items in zip(src, trg, src_prompt, trg_prompt):
+            self.dataset.set_item(*items)
+        assert len(self.dataset) == len(src), \
+            (len(self.dataset), self.dataset.cache)
 
     def _generate(self, src: List[str], trg: Optional[List[str]] = None,
                   src_prompt: Optional[List[str]] = None,
                   trg_prompt: Optional[List[str]] = None, **kwargs):
+        stream_cls = StreamDataset if self.args.task == "MT" \
+            else SpeechStreamDataset
+        assert isinstance(self.dataset, stream_cls), self.dataset
+
         test_cfg = dict(self.args.test.__dict__)
         test_cfg.update(kwargs)
-
-        if self.args.task == "MT":
-            assert isinstance(self.dataset, StreamDataset), self.dataset
-        elif self.args.task == "S2T":
-            assert isinstance(self.dataset, SpeechStreamDataset), self.dataset
         test_cfg["batch_type"] = "sentence"
         test_cfg["batch_size"] = len(src)
-
-        if src_prompt:
-            assert len(src) == len(src_prompt), \
-                "src and src_prompt must have the same length!"
-        else:
-            src_prompt = [None] * len(src)
-        if trg_prompt:
-            assert len(src) == len(trg_prompt), \
-                "trg and trg_prompt must have the same length!"
-        else:
-            trg_prompt = [None] * len(src)
-
-        self.dataset.reset_cache()
+        self.dataset.has_trg = trg is not None
         if trg is not None:
-            assert len(src) == len(trg), "src and trg must have the same length!"
-            self.dataset.has_trg = True
-            test_cfg["n_best"] = 1
-            test_cfg["beam_size"] = 1
-            test_cfg["return_prob"] = "ref"
-            for src_sent, trg_sent, src_p, trg_p in zip(src, trg, src_prompt,
-                                                        trg_prompt):
-                self.dataset.set_item(src_sent, trg_sent, src_p, trg_p)
-        else:
-            self.dataset.has_trg = False
-            for src_sent, src_p, trg_p in zip(src, src_prompt, trg_prompt):
-                self.dataset.set_item(src_sent, None, src_p, trg_p)
-
-        assert len(self.dataset) == len(src), (len(self.dataset), self.dataset.cache)
+            # reference scoring is a forced decode: no search knobs apply
+            test_cfg.update(n_best=1, beam_size=1, return_prob="ref")
+        self._stage_inputs(src, trg, src_prompt, trg_prompt)
 
         _, _, translations, tokens, probs, attention_probs = predict(
             params=self.params, model=self.model, spec=self.spec,
@@ -206,25 +206,25 @@ class TranslatorHubInterface:
         self.dataset.reset_cache()
         self.dataset.has_trg = True
         self.dataset.set_item(src, trg)
-        src_tokens = self.dataset.get_item(idx=0, lang=self.dataset.src_lang,
-                                           is_train=False)
-        trg_tokens = self.dataset.get_item(idx=0, lang=self.dataset.trg_lang,
-                                           is_train=False)
+        tokens, eos = {}, {}
+        for axis, lang in (("col", self.dataset.src_lang),
+                           ("row", self.dataset.trg_lang)):
+            tokens[axis] = self.dataset.get_item(idx=0, lang=lang,
+                                                 is_train=False)
+            eos[axis] = getattr(self.dataset.tokenizer[lang], "eos_token",
+                                "</s>")
         self.dataset.reset_cache()
 
-        eos_src = getattr(self.dataset.tokenizer[self.dataset.src_lang],
-                          "eos_token", "</s>")
-        eos_trg = getattr(self.dataset.tokenizer[self.dataset.trg_lang],
-                          "eos_token", "</s>")
         return plot_heatmap(
             scores=np.asarray(attention_scores),
-            column_labels=src_tokens + [eos_src],
-            row_labels=trg_tokens + [eos_trg],
+            column_labels=tokens["col"] + [eos["col"]],
+            row_labels=tokens["row"] + [eos["row"]],
             output_path=None)
 
 
 def load_model_dir(model_dir: Union[str, Path],
-                   cfg_file: str = "config.yaml", **kwargs) -> TranslatorHubInterface:
+                   cfg_file: str = "config.yaml",
+                   **kwargs) -> TranslatorHubInterface:
     """Load a pretrained snapshot dir into a TranslatorHubInterface."""
     model, spec, params, loss_fn, dataset, args = _from_pretrained(
         model_dir, cfg_file, **kwargs)

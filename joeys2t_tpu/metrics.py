@@ -17,33 +17,29 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _corpus_score(metric_cls, hypotheses: List[str], references: List[str],
+                  sacrebleu_cfg: dict) -> float:
+    """Instantiate a sacrebleu metric with only the cfg keys its constructor
+    accepts (user YAML may carry keys for the other metric) and score the
+    corpus; the signature line goes to the log for reproducibility."""
+    accepted = getfullargspec(metric_cls).args
+    metric = metric_cls(
+        **{k: v for k, v in sacrebleu_cfg.items() if k in accepted})
+    result = metric.corpus_score(hypotheses=hypotheses,
+                                 references=[references])
+    logger.info(metric.get_signature())
+    return result.score
+
+
 def chrf(hypotheses: List[str], references: List[str], **sacrebleu_cfg) -> float:
     """Character F-score; returned in [0, 1] (sacrebleu v2 breaking change,
     joeynmt/metrics.py:16-38)."""
-    kwargs = {}
-    if sacrebleu_cfg:
-        valid_keys = getfullargspec(CHRF).args
-        for k, v in sacrebleu_cfg.items():
-            if k in valid_keys:
-                kwargs[k] = v
-    metric = CHRF(**kwargs)
-    score = metric.corpus_score(hypotheses=hypotheses, references=[references]).score
-    logger.info(metric.get_signature())
-    return score / 100
+    return _corpus_score(CHRF, hypotheses, references, sacrebleu_cfg) / 100
 
 
 def bleu(hypotheses: List[str], references: List[str], **sacrebleu_cfg) -> float:
     """Corpus BLEU from sacrebleu (joeynmt/metrics.py:41-62)."""
-    kwargs = {}
-    if sacrebleu_cfg:
-        valid_keys = getfullargspec(BLEU).args
-        for k, v in sacrebleu_cfg.items():
-            if k in valid_keys:
-                kwargs[k] = v
-    metric = BLEU(**kwargs)
-    score = metric.corpus_score(hypotheses=hypotheses, references=[references]).score
-    logger.info(metric.get_signature())
-    return score
+    return _corpus_score(BLEU, hypotheses, references, sacrebleu_cfg)
 
 
 def token_accuracy(hypotheses: List[str], references: List[str],
