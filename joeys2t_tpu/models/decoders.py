@@ -137,6 +137,37 @@ class TransformerDecoder(nn.Module):
         ctc_out = self.ctc_output_layer(encoder_output) if self.ctc_layer else None
         return out, x, att, None, ctc_out
 
+    # --------------------------------------------- pipeline-parallel split
+    def pre_layers(
+        self,
+        trg_embed: jnp.ndarray,
+        trg_mask: jnp.ndarray,
+        trg_prompt_embed: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``__call__``'s prologue up to (excluding) the layer stack: PE +
+        prompt embedding + embedding dropout + causal mask. The GPipe path
+        (training._loss_and_metrics_pp) runs the stack via
+        parallel.pp.pipeline_apply. Returns (x, full_trg_mask)."""
+        assert trg_mask is not None, "trg_mask required for Transformer"
+        t = trg_embed.shape[1]
+        pe = sinusoidal_pe(t, trg_embed.shape[2]).astype(trg_embed.dtype)
+        x = trg_embed + pe[None, :, :]
+        if trg_prompt_embed is not None:
+            x = x + trg_prompt_embed
+        x = self.emb_dropout_layer(x, deterministic=deterministic)
+        return x.astype(self.dtype), trg_mask & subsequent_mask(t)
+
+    def post_layers(self, x: jnp.ndarray, encoder_output: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """``__call__``'s epilogue after the layer stack: final norm, output
+        projection, CTC head. Returns (logits-or-hidden, ctc_logits)."""
+        if self.layer_norm_position == "pre":
+            x = self.final_layer_norm(x).astype(self.dtype)
+        out = self._project_output(x)
+        ctc_out = self.ctc_output_layer(encoder_output) if self.ctc_layer else None
+        return out, ctc_out
+
     # ------------------------------------------------------------ decode path
     def init_cache(self, encoder_output: jnp.ndarray, max_len: int,
                    cache_dtype: Any = None,

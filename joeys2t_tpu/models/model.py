@@ -120,6 +120,29 @@ class Seq2SeqModel(nn.Module):
         """Encoder epilogue (final layer norm) after the pipelined stack."""
         return self.encoder.post_layers(x)
 
+    # ------------------------------------------- pipeline-parallel decode split
+    def decode_pre_layers(
+        self,
+        trg_input: jnp.ndarray,
+        trg_mask: jnp.ndarray,
+        trg_prompt_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Decoder prologue (embed/PE/prompt/dropout + causal mask), stopping
+        before the layer stack. Returns (x, full_trg_mask)."""
+        trg_prompt_embed = None
+        if trg_prompt_mask is not None:
+            trg_prompt_embed = self.trg_embed(trg_prompt_mask)
+        return self.decoder.pre_layers(
+            self.trg_embed(trg_input), trg_mask,
+            trg_prompt_embed=trg_prompt_embed, deterministic=deterministic)
+
+    def decode_post_layers(self, x: jnp.ndarray, encoder_output: jnp.ndarray):
+        """Decoder epilogue after the pipelined stack: final norm, output
+        projection (incl. tied softmax), CTC head. Returns (logits, ctc)."""
+        out, ctc_out = self.decoder.post_layers(x, encoder_output)
+        return self._output_logits(out), ctc_out
+
     # ------------------------------------------------------------------ decode
     def decode(
         self,

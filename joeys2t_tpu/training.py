@@ -343,14 +343,23 @@ class TrainManager:
     def _init_pipeline(self, model) -> None:
         """Validate + prepare the GPipe path (`training: pipeline_parallel`).
 
-        The encoder layer stack is staged over the `pipe` mesh axis
-        (parallel/pp.pipeline_apply); prologue (subsampler/PE/dropout),
-        final norm, decoder and loss stay data-parallel — the encoder stack
-        is where the depth (and for S2T, 4x the sequence length) lives."""
+        BOTH homogeneous layer stacks are staged over the `pipe` mesh axis
+        (parallel/pp.pipeline_apply): the encoder stack always (its depth,
+        and for S2T 4x the sequence length, is where the FLOPs live), the
+        decoder stack whenever its num_layers divides the stage count —
+        otherwise the decoder runs replicated (logged below). Prologues
+        (subsampler/PE/embeddings/dropout), final norms, output/CTC heads
+        and the loss stay data-parallel. MoE encoders are excluded: expert
+        routing sows aux losses that do not thread through shard_map
+        microbatch rotation (documented scope, not a TODO)."""
+        from joeys2t_tpu.models.decoders import TransformerDecoder
         from joeys2t_tpu.models.encoders import TransformerEncoder
-        from joeys2t_tpu.models.modules import TransformerEncoderLayer
+        from joeys2t_tpu.models.modules import (
+            TransformerDecoderLayer,
+            TransformerEncoderLayer,
+        )
 
-        enc = model.encoder
+        enc, dec = model.encoder, model.decoder
         n_stages = self.mesh.mesh.shape["pipe"]
         if not isinstance(enc, TransformerEncoder):
             raise ConfigurationError(
@@ -358,25 +367,40 @@ class TrainManager:
                 f"only (got {type(enc).__name__}).")
         if getattr(enc, "num_experts", 0):
             raise ConfigurationError(
-                "pipeline_parallel does not compose with MoE encoders yet.")
+                "pipeline_parallel does not compose with MoE encoders.")
         if enc.num_layers % n_stages != 0:
             raise ConfigurationError(
                 f"encoder num_layers={enc.num_layers} must be divisible by "
                 f"pipeline_parallel={n_stages}.")
         m = getattr(self.args, "pipeline_microbatches", 0) or 0
         self._pp_microbatches = m if m > 0 else 2 * n_stages
-        # standalone layer module, applied per-stage with the per-layer
-        # param subtrees (params.encoder.layer_i) stacked over `pipe`
+        # standalone layer modules, applied per-stage with the per-layer
+        # param subtrees (params.{encoder,decoder}.layer_i) stacked over `pipe`
         self._pp_layer = TransformerEncoderLayer(
             size=enc.hidden_size, ff_size=enc.ff_size,
             num_heads=enc.num_heads, dropout=enc.dropout, alpha=enc.alpha,
             layer_norm_position=enc.layer_norm_position,
             activation=enc.activation, dtype=enc.dtype,
             attn_impl=enc.attn_impl)
+        self._pp_dec_layer = None
+        if (isinstance(dec, TransformerDecoder)
+                and dec.num_layers % n_stages == 0):
+            self._pp_dec_layer = TransformerDecoderLayer(
+                size=dec.hidden_size, ff_size=dec.ff_size,
+                num_heads=dec.num_heads, dropout=dec.dropout, alpha=dec.alpha,
+                layer_norm_position=dec.layer_norm_position,
+                activation=dec.activation, dtype=dec.dtype,
+                attn_impl=dec.attn_impl)
+        else:
+            logger.info(
+                "pipeline_parallel: decoder runs replicated (needs a "
+                "transformer decoder with num_layers divisible by %d).",
+                n_stages)
 
     def _loss_and_metrics_pp(self, params, batch, dropout_rng, normalizer):
         """GPipe variant of _loss_and_metrics: identical math, with the
-        encoder layer stack run by parallel.pp.pipeline_apply over `pipe`."""
+        encoder layer stack (and, when staged, the decoder layer stack) run
+        by parallel.pp.pipeline_apply over `pipe`."""
         from joeys2t_tpu.parallel.pp import pipeline_apply, stack_layer_params
 
         model = self.model
@@ -400,10 +424,35 @@ class TrainManager:
                            batch_axis="data")
         enc_out = model.apply({"params": params}, x,
                               method="encode_post_layers")
-        logits, _, _, _, ctc_logits = model.apply(
-            {"params": params}, batch["trg_input"], enc_out, mask,
-            batch["trg_mask"], trg_prompt_mask=batch["trg_prompt_mask"],
-            deterministic=False, rngs={"dropout": r_dec}, method="decode")
+
+        if self._pp_dec_layer is None:  # decoder replicated
+            logits, _, _, _, ctc_logits = model.apply(
+                {"params": params}, batch["trg_input"], enc_out, mask,
+                batch["trg_mask"], trg_prompt_mask=batch["trg_prompt_mask"],
+                deterministic=False, rngs={"dropout": r_dec}, method="decode")
+        else:  # decoder staged over `pipe` too
+            r_dec_pre, r_dec_layers = jax.random.split(r_dec)
+            y, full_trg_mask = model.apply(
+                {"params": params}, batch["trg_input"], batch["trg_mask"],
+                trg_prompt_mask=batch["trg_prompt_mask"], deterministic=False,
+                rngs={"dropout": r_dec_pre}, method="decode_pre_layers")
+            dec_stacked = stack_layer_params(
+                [params["decoder"][f"layer_{i}"]
+                 for i in range(model.decoder.num_layers)])
+            dec_layer = self._pp_dec_layer
+
+            def dec_layer_fn(p, h, memory, s_mask, t_mask, rng):
+                out, _ = dec_layer.apply({"params": p}, h, memory, s_mask,
+                                         t_mask, False, False,
+                                         rngs={"dropout": rng})
+                return out
+
+            y = pipeline_apply(dec_layer_fn, dec_stacked, y,
+                               self._pp_microbatches, self.mesh.mesh, "pipe",
+                               enc_out, mask, full_trg_mask,
+                               rng=r_dec_layers, batch_axis="data")
+            logits, ctc_logits = model.apply(
+                {"params": params}, y, enc_out, method="decode_post_layers")
         return self._finish_loss(logits, ctc_logits, mask, batch, normalizer,
                                  aux=jnp.zeros(()))
 

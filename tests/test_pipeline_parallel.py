@@ -123,6 +123,10 @@ def test_train_manager_pipeline_parallel_from_config(tmp_path):
             num_workers=0, model_cfg=args.model)
         assert trainer.mesh.mesh.shape.get("pipe", 1) == pp
         assert trainer._pp == (pp > 1)
+        if pp > 1:
+            # both stacks staged: 2 decoder layers divide pp=2, so the
+            # decoder must be pipelined too (not replicated)
+            assert trainer._pp_dec_layer is not None
         # loss + grads of one real batch through the trainer's own loss path
         # (pipelined vs sequential must only differ by float reassociation)
         it, _ = train_data.make_iter(
@@ -149,6 +153,55 @@ def test_train_manager_pipeline_parallel_from_config(tmp_path):
     np.testing.assert_allclose(loss_pp, loss_dp, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_decode_pre_post_layers_match_full_decode():
+    """The decoder's pipeline split (decode_pre_layers -> layer stack ->
+    decode_post_layers) must reproduce model.decode exactly — it is the
+    same math re-entered at stack boundaries."""
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.models import build_model
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary([str(i) for i in range(10)], SpecialSymbols())
+    side = {"num_layers": 2, "num_heads": 2, "hidden_size": 16, "ff_size": 32,
+            "dropout": 0.0, "layer_norm": "pre",
+            "embeddings": {"embedding_dim": 16, "scale": True}}
+    cfg = {"encoder": dict(side, type="transformer"),
+           "decoder": dict(side, type="transformer"),
+           "attention_impl": "xla"}
+    model, spec = build_model(cfg, src_vocab=vocab, trg_vocab=vocab)
+
+    rng = np.random.RandomState(3)
+    b, s, t = 2, 5, 4
+    src = jnp.asarray(rng.randint(4, 10, size=(b, s)).astype(np.int32))
+    trg_in = jnp.asarray(rng.randint(4, 10, size=(b, t)).astype(np.int32))
+    src_len = jnp.full((b,), s, jnp.int32)
+    trg_mask = jnp.ones((b, 1, t), bool)
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_in,
+                        src_len, None, trg_mask, deterministic=True)["params"]
+
+    enc_out, _, src_mask = model.apply({"params": params}, src, src_len, None,
+                                       method="encode")
+    want, _, _, _, want_ctc = model.apply(
+        {"params": params}, trg_in, enc_out, src_mask, trg_mask,
+        method="decode")
+
+    x, full_mask = model.apply({"params": params}, trg_in, trg_mask,
+                               method="decode_pre_layers")
+    from joeys2t_tpu.models.modules import TransformerDecoderLayer
+
+    layer = TransformerDecoderLayer(size=16, ff_size=32, num_heads=2,
+                                    dropout=0.0, layer_norm_position="pre",
+                                    attn_impl="xla")
+    for i in range(2):
+        x, _ = layer.apply({"params": params["decoder"][f"layer_{i}"]},
+                           x, enc_out, src_mask, full_mask, False, True)
+    got, got_ctc = model.apply({"params": params}, x, enc_out,
+                               method="decode_post_layers")
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+    assert want_ctc is None and got_ctc is None  # MT: no CTC head
+    del spec
 
 
 def test_pipeline_gradients_match():
