@@ -47,17 +47,13 @@ from joeys2t_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def _prefetch_prepared(stream, prepare_fn, depth: int = 2):
-    """Run ``_prepare_batch`` one step ahead in a daemon thread.
+def _prefetch_iter(it, depth: int = 2, name: str = "host-prefetch"):
+    """Run an iterator one step ahead on a daemon thread (bounded queue).
 
-    Host batch prep (np.load + CMVN/SpecAugment + collate + pad, measured
-    ~400ms/batch cold on a 1-core host) and the device_put *issue* (~40ms;
-    the transfer itself is async, blocking fraction 0.13 — see
-    scripts/probe_sustained_train.py phase B2) then overlap device execution
-    of the previous step instead of serializing with it. Single-process
-    only: ``_multihost_sync_stream`` performs a device collective per batch
-    that must stay on the main thread to keep collective order identical
-    across hosts.
+    Worker exceptions are re-raised at the consuming side; closing the
+    returned generator stops the worker. The wrapped iterator must be free
+    of device collectives — those must stay on the caller's thread so their
+    issue order is identical across hosts.
     """
     import queue as _queue
     import threading
@@ -77,15 +73,14 @@ def _prefetch_prepared(stream, prepare_fn, depth: int = 2):
 
     def worker():
         try:
-            for batch, sync_dims in stream:
-                if not _put(prepare_fn(batch, sync_dims)):
+            for item in it:
+                if not _put(item):
                     return
             _put(end)
         except BaseException as e:  # pylint: disable=broad-except
             _put(e)  # re-raised on the consuming side
 
-    t = threading.Thread(target=worker, daemon=True,
-                         name="prepare-prefetch")
+    t = threading.Thread(target=worker, daemon=True, name=name)
     t.start()
     try:
         while True:
@@ -99,7 +94,37 @@ def _prefetch_prepared(stream, prepare_fn, depth: int = 2):
         stop.set()
 
 
-def _multihost_sync_stream(train_iter, batch_size: int, dp: int):
+def _prefetch_prepared(stream, prepare_fn, depth: int = 2):
+    """Run ``_prepare_batch`` one step ahead in a daemon thread.
+
+    Host batch prep (np.load + CMVN/SpecAugment + collate + pad, measured
+    ~400ms/batch cold on a 1-core host) and the device_put *issue* (~40ms;
+    the transfer itself is async, blocking fraction 0.13 — see
+    scripts/probe_sustained_train.py phase B2) then overlap device execution
+    of the previous step instead of serializing with it. Single-process
+    only — multi-host runs overlap the collective-free half of this work
+    via the worker inside ``_multihost_sync_stream`` instead.
+    """
+    return _prefetch_iter(
+        (prepare_fn(batch, sync_dims) for batch, sync_dims in stream),
+        depth=depth, name="prepare-prefetch")
+
+
+def _local_shape_stats(batch, batch_size: int, dp: int) -> np.ndarray:
+    """This rank's per-batch shape vote: (alive, src_bucket, trg_bucket,
+    target_batch) — allgathered so every rank pads to the global max."""
+    from joeys2t_tpu.data.batch import round_up_to_bucket
+
+    if batch is None:
+        return np.zeros((4,), np.int64)
+    tb = int(np.ceil(max(batch_size, batch.nseqs) / dp) * dp)
+    trg_b = round_up_to_bucket(batch.trg.shape[1]) if batch.has_trg else 0
+    return np.array(
+        [1, round_up_to_bucket(batch.src.shape[1]), trg_b, tb], np.int64)
+
+
+def _multihost_sync_stream(train_iter, batch_size: int, dp: int,
+                           prefetch: bool = True):
     """Keep multi-host ranks in lock-step for one epoch of batches.
 
     Two hazards make naive per-process iteration diverge: (a) the samplers
@@ -114,38 +139,36 @@ def _multihost_sync_stream(train_iter, batch_size: int, dp: int):
     loop hangs in this case, joeynmt/datasets.py:1164-1246 has the same
     post-split drop), and every rank pads to the globally-agreed shapes.
 
+    The expensive, collective-free half of batch production (dataset IO,
+    tokenization/feature loading, collate — everything inside iterating
+    ``train_iter``) runs one step ahead on a worker thread; only the tiny
+    per-batch allgather stays here on the main thread, so its issue order
+    is identical on every host while host prep overlaps device compute.
+
     Yields ``(batch, (src_len, trg_len, target_b))``.
     """
     from jax.experimental import multihost_utils
 
-    from joeys2t_tpu.data.batch import round_up_to_bucket
+    def produce():
+        for batch in train_iter:
+            yield batch, _local_shape_stats(batch, batch_size, dp)
+        yield None, _local_shape_stats(None, batch_size, dp)
 
-    it = iter(train_iter)
-    while True:
-        try:
-            batch = next(it)
-        except StopIteration:
-            batch = None
-        if batch is None:
-            local = np.zeros((4,), np.int64)
-        else:
-            tb = int(np.ceil(max(batch_size, batch.nseqs) / dp) * dp)
-            trg_b = round_up_to_bucket(batch.trg.shape[1]) \
-                if batch.has_trg else 0
-            local = np.array(
-                [1, round_up_to_bucket(batch.src.shape[1]), trg_b, tb],
-                np.int64)
-        glob = np.asarray(multihost_utils.process_allgather(local))
-        if int(glob[:, 0].min()) == 0:
-            if batch is not None:
-                n_tail = 1 + sum(1 for _ in it)
-                logger.warning(
-                    "Multi-host epoch sync: dropping %d local tail "
-                    "batch(es) so all ranks finish the epoch together.",
-                    n_tail)
-            return
-        yield batch, (int(glob[:, 1].max()), int(glob[:, 2].max()),
-                      int(glob[:, 3].max()))
+    pairs = _prefetch_iter(produce(), name="multihost-prefetch") \
+        if prefetch else produce()
+    try:
+        for batch, local in pairs:
+            glob = np.asarray(multihost_utils.process_allgather(local))
+            if int(glob[:, 0].min()) == 0:
+                if batch is not None:
+                    logger.warning(
+                        "Multi-host epoch sync: dropping local tail "
+                        "batch(es) so all ranks finish the epoch together.")
+                return
+            yield batch, (int(glob[:, 1].max()), int(glob[:, 2].max()),
+                          int(glob[:, 3].max()))
+    finally:
+        pairs.close()  # stops the prefetch worker (no-op for generators)
 
 
 def frozen_prefixes(model_cfg: Dict) -> set:

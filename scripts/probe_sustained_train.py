@@ -45,7 +45,23 @@ def main():
     ap.add_argument("--prefetch", action="store_true",
                     help="phase C uses the TrainManager _prefetch_prepared "
                          "pipeline (host prep + upload issue overlap compute)")
+    ap.add_argument("--multihost", type=int, default=0, metavar="N",
+                    help="orchestrate N local CPU-backend ranks and compare "
+                         "phase C through _multihost_sync_stream with the "
+                         "lockstep prefetch worker ON vs OFF")
+    ap.add_argument("--rank", type=int, default=-1, help=argparse.SUPPRESS)
+    ap.add_argument("--nproc", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--port", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--no-lockstep-prefetch", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.multihost > 0:
+        return run_multihost_compare(args)
+    if args.rank >= 0:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.nproc, process_id=args.rank)
 
     from joeys2t_tpu.config import load_config, parse_global_args, \
         set_validation_args
@@ -169,21 +185,62 @@ def main():
         run_c(args, trainer, train_data, gargs, spec)
 
 
+def run_multihost_compare(args):
+    """Spawn N local CPU ranks twice (lockstep prefetch worker on/off) and
+    report the sustained phase-C step time of each — the measurement for
+    the multi-host host-prep overlap (training._multihost_sync_stream)."""
+    import socket
+    import subprocess
+
+    for label, extra in [("prefetch ON ", []),
+                         ("prefetch OFF", ["--no-lockstep-prefetch"])]:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        cmd = [sys.executable, __file__, "--section", "C",
+               "--steps", str(args.steps), "--config", args.config,
+               "--nproc", str(args.multihost), "--port", port] + extra
+        if args.batch_size:
+            cmd += ["--batch-size", str(args.batch_size)]
+        import os
+
+        env = {**os.environ,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+               "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+        procs = [subprocess.Popen(cmd + ["--rank", str(i)],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, env=env)
+                 for i in range(args.multihost)]
+        outs = [p.communicate()[0].decode() for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {i} failed:\n{out[-2000:]}"
+        line = [ln for ln in outs[0].splitlines() if ln.startswith("C. ")][0]
+        print(f"multihost x{args.multihost} [{label}] {line}")
+
+
 def run_c(args, trainer, train_data, gargs, spec):
-    stream = ((b, None) for b in train_data.make_iter(
+    train_iter = train_data.make_iter(
         batch_size=trainer.args.batch_size, batch_type=trainer.args.batch_type,
         seed=trainer.seed + 1, shuffle=True, num_workers=gargs.num_workers,
-        eos_index=spec.eos_index, pad_index=spec.pad_index))
+        eos_index=spec.eos_index, pad_index=spec.pad_index)
 
     def prepare(batch, sync_dims):
         out = trainer._prepare_batch(batch, sync_dims)
         return (float(np.sum(batch.src_length)) * 0.01,) + out
 
-    if args.prefetch:
-        from joeys2t_tpu.training import _prefetch_prepared
-        prepared = _prefetch_prepared(stream, prepare)
-    else:
+    if jax.process_count() > 1:
+        from joeys2t_tpu.training import _multihost_sync_stream
+        stream = _multihost_sync_stream(
+            train_iter, trainer.args.batch_size,
+            trainer.mesh.mesh.shape["data"],
+            prefetch=not args.no_lockstep_prefetch)
         prepared = (prepare(b, sd) for b, sd in stream)
+    elif args.prefetch:
+        from joeys2t_tpu.training import _prefetch_prepared
+        prepared = _prefetch_prepared(
+            ((b, None) for b in train_iter), prepare)
+    else:
+        prepared = (prepare(b, None) for b in train_iter)
     pending = []
     warmup = 3
     t_start = None

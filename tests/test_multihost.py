@@ -269,6 +269,25 @@ TRAIN_MANAGER_WORKER = textwrap.dedent("""
     args = parse_global_args(cfg, rank=pid, mode="train")
     model, spec, params, loss_fn, train_data, dev_data, _ = prepare(
         args, rank=pid, mode="train")
+
+    # spy on WHERE the lockstep machinery runs: host batch production
+    # (_local_shape_stats, called right after the train_iter pull) must be
+    # on the prefetch worker; the per-batch allgather must stay on the
+    # main thread so collective order is identical across ranks
+    import threading
+    import joeys2t_tpu.training as T
+    from jax.experimental import multihost_utils as MH
+    prep_threads, sync_threads = set(), set()
+    orig_stats, orig_ag = T._local_shape_stats, MH.process_allgather
+    def spy_stats(batch, bs, dp):
+        prep_threads.add(threading.current_thread().name)
+        return orig_stats(batch, bs, dp)
+    def spy_ag(x, *a, **k):
+        sync_threads.add(threading.current_thread().name)
+        return orig_ag(x, *a, **k)
+    T._local_shape_stats = spy_stats
+    MH.process_allgather = spy_ag
+
     trainer = TrainManager(
         model=model, spec=spec, params=params, loss_fn=loss_fn,
         model_dir=args.model_dir, task=args.task, seed=args.seed,
@@ -276,6 +295,8 @@ TRAIN_MANAGER_WORKER = textwrap.dedent("""
         num_workers=0, model_cfg=args.model)
     trainer.train_and_validate(train_data=train_data, valid_data=dev_data)
     print("STEPS " + str(trainer.stats.steps), flush=True)
+    print("PREPTHREADS " + ",".join(sorted(prep_threads)), flush=True)
+    print("SYNCTHREADS " + ",".join(sorted(sync_threads)), flush=True)
 """)
 
 
@@ -354,6 +375,15 @@ def test_two_process_train_manager_stays_in_lockstep(tmp_path):
         steps.append(int(line.split()[1]))
     # both ranks end the epoch together at the global-min batch count
     assert steps == [2, 2], steps
+    # overlapped prep under lockstep: batch production ran on the prefetch
+    # worker thread, while every per-batch allgather stayed on main
+    for out in outs:
+        prep = [ln for ln in out.splitlines()
+                if ln.startswith("PREPTHREADS ")][0].split(" ", 1)[1]
+        sync = [ln for ln in out.splitlines()
+                if ln.startswith("SYNCTHREADS ")][0].split(" ", 1)[1]
+        assert "multihost-prefetch" in prep, prep
+        assert sync == "MainThread", sync
     # artifact writes are rank-0-only: one report line for the one
     # validation (step 2), no duplicates from rank 1
     report = (Path(cfg["model_dir"]) / "validations.txt").read_text()
