@@ -320,10 +320,12 @@ class MultiHeadedAttention(nn.Module):
     def step_self_ancestry(
         self,
         q: jnp.ndarray,  # (B*K, 1, size)
-        cache_k: jnp.ndarray,  # (B*K, H, S_max, Dh) bf16/f32
+        cache_k: jnp.ndarray,  # (B*K, H, S_max, Dh) bf16/f32 or int8
         cache_v: jnp.ndarray,
         index: jnp.ndarray,  # scalar int32 current position
         ancestry: jnp.ndarray,  # (B, K, S_max) int32 parent rows in [0, K)
+        k_scale: Optional[jnp.ndarray] = None,  # (B*K, H, S_max) when int8
+        v_scale: Optional[jnp.ndarray] = None,
     ):
         """Beam self-attention WITHOUT the physical per-step cache reorder.
 
@@ -343,22 +345,41 @@ class MultiHeadedAttention(nn.Module):
 
         Per step this reads the caches once (no write-back), vs read + full
         read/write for the physical reorder — 3x less self-cache traffic.
-        Exact same math as reorder-then-attend. Returns (out, new_k, new_v);
-        the caller updates the ancestry map after top-k selection.
+        Exact same math as reorder-then-attend. Returns (out, new_k, new_v,
+        new_k_scale, new_v_scale); the caller updates the ancestry map after
+        top-k selection.
+
+        int8 ring buffers compose with the ancestry map because their
+        per-position scales are stored per PHYSICAL row: both the int8
+        values and their scales are read through the same ``anc[b,k,s]``
+        index, so scales travel with the rows they quantized. The K-scale
+        folds into ``s_all`` (per contracted position) and the V-scale into
+        the tiny masked-probability tensor, matching ``_decode_einsum``'s
+        "position" layout — no dequantized cache copy is materialized.
         """
         bk, h_heads, s_max, dh = cache_k.shape
         kb = ancestry.shape[1]
         b = bk // kb
-        assert cache_k.dtype != jnp.int8, \
-            "ancestry beam path supports bf16/f32 self caches"
+        is_int8 = cache_k.dtype == jnp.int8
 
         k_h, v_h = self.project_kv(q)  # (B*K, 1, H, Dh)
         k_h = jnp.swapaxes(k_h, 1, 2)
         v_h = jnp.swapaxes(v_h, 1, 2)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k_h.astype(cache_k.dtype), (0, 0, index, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v_h.astype(cache_v.dtype), (0, 0, index, 0))
+        if is_int8:
+            from joeys2t_tpu.ops.decode_attention import quantize_per_position
+            k_q, k_s = quantize_per_position(k_h)
+            v_q, v_s = quantize_per_position(v_h)
+            cache_k = jax.lax.dynamic_update_slice(cache_k, k_q,
+                                                   (0, 0, index, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, v_q,
+                                                   (0, 0, index, 0))
+            k_scale = jax.lax.dynamic_update_slice(k_scale, k_s, (0, 0, index))
+            v_scale = jax.lax.dynamic_update_slice(v_scale, v_s, (0, 0, index))
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_h.astype(cache_k.dtype), (0, 0, index, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_h.astype(cache_v.dtype), (0, 0, index, 0))
 
         q_h = self._split_heads(self.q_layer(q))  # (B*K, 1, H, Dh)
         qk = (q_h[:, 0].reshape(b, kb, self.num_heads, self.head_size)
@@ -366,8 +387,13 @@ class MultiHeadedAttention(nn.Module):
         ck = cache_k.reshape(b, kb, self.num_heads, s_max, dh)
         cv = cache_v.reshape(b, kb, self.num_heads, s_max, dh)
 
-        s_all = jnp.einsum("bkhd,bjhsd->bkjhs", qk.astype(self.dtype), ck,
+        s_all = jnp.einsum("bkhd,bjhsd->bkjhs", qk.astype(self.dtype),
+                           ck.astype(self.dtype),
                            preferred_element_type=jnp.float32)
+        if is_int8:
+            # (B*K, H, S) -> (B, 1[k], J, H, S): per-position K scale along
+            # the contracted dim, indexed by the same physical row j
+            s_all = s_all * k_scale.reshape(b, kb, h_heads, s_max)[:, None]
         onehot = (ancestry[:, :, None, :]
                   == jnp.arange(kb, dtype=ancestry.dtype)[None, None, :, None]
                   )  # (B, K, J, S)
@@ -375,12 +401,15 @@ class MultiHeadedAttention(nn.Module):
         valid = jnp.arange(s_max) <= index
         scores = jnp.where(valid[None, None, None, :], scores, NEG_INF)
         p = jax.nn.softmax(scores, axis=-1)  # (B, K, H, S) f32
-        p_masked = (p[:, :, None, :, :] * onehot[:, :, :, None, :]
-                    ).astype(self.dtype)  # (B, K, J, H, S)
-        ctx = jnp.einsum("bkjhs,bjhsd->bkhd", p_masked, cv)
+        p_masked = p[:, :, None, :, :] * onehot[:, :, :, None, :]  # (B,K,J,H,S)
+        if is_int8:
+            p_masked = p_masked * v_scale.reshape(b, kb, h_heads,
+                                                  s_max)[:, None]
+        ctx = jnp.einsum("bkjhs,bjhsd->bkhd", p_masked.astype(self.dtype),
+                         cv.astype(self.dtype))
         out = self.output_layer(
             ctx.reshape(bk, 1, self.size).astype(self.dtype))
-        return out, cache_k, cache_v
+        return out, cache_k, cache_v, k_scale, v_scale
 
     def step_cross(
         self,
@@ -700,9 +729,11 @@ class TransformerDecoderLayer(nn.Module):
         if self.layer_norm_position == "pre":
             x = self.x_layer_norm(x).astype(self.dtype)
         if ancestry is not None:
-            h1, new_k, new_v = self.trg_trg_att.step_self_ancestry(
-                x, cache["self_k"], cache["self_v"], index, ancestry)
-            new_ks = new_vs = None
+            h1, new_k, new_v, new_ks, new_vs = \
+                self.trg_trg_att.step_self_ancestry(
+                    x, cache["self_k"], cache["self_v"], index, ancestry,
+                    k_scale=cache.get("self_k_scale"),
+                    v_scale=cache.get("self_v_scale"))
         else:
             h1, new_k, new_v, new_ks, new_vs = self.trg_trg_att.step_self(
                 x, cache["self_k"], cache["self_v"], index,

@@ -728,12 +728,13 @@ def beam_search(params, model, spec, encoder_output, encoder_hidden, src_mask,
     # classic cache[select]. Configured via `testing: beam_reorder:` in the
     # YAML; the JOEYS2T_BEAM_REORDER env override is resolved at config
     # parse time (config.parse_test_args), never here in the decode path.
-    # int8 self caches always use the physical path (ancestry supports
-    # bf16/f32); cross-int8 composes with lazy reorder because the beam
-    # reorder never touches cross caches.
+    # int8 self caches compose with ancestry: the per-position scales are
+    # stored per physical row and read through the same ancestry index as
+    # the int8 values (modules.step_self_ancestry), so lazy is the default
+    # for every transformer cache dtype; cross-int8 composes trivially
+    # because the beam reorder never touches cross caches.
     mode = kwargs.get("beam_reorder", "auto")
     lazy_reorder = (mode == "lazy" or mode == "auto") \
-        and not getattr(model.decoder, "cache_self_int8", False) \
         and not isinstance(model.decoder, RecurrentDecoder)
 
     fin_seqs, fin_scores = _beam_search_jit(

@@ -346,22 +346,17 @@ class TestLazyBeamReorder:
     `auto`) must be bit-identical to the classic physical cache permute —
     same hypotheses AND same scores, including n-best and prompts."""
 
-    def _run(self, mt_model, mode, **kw):
-        import os
-
+    def _run(self, mt_model, mode, model_override=None, **kw):
+        # `beam_reorder` reaches beam_search as a plain kwarg: config-parse
+        # time owns the JOEYS2T_BEAM_REORDER env override
+        # (config.parse_test_args), search.py never reads the environment
         model, spec, params = mt_model
+        if model_override is not None:
+            model = model_override
         _, enc, src_mask = encode(mt_model)
-        prev = os.environ.get("JOEYS2T_BEAM_REORDER")
-        os.environ["JOEYS2T_BEAM_REORDER"] = mode
-        try:
-            return beam_search(params, model, spec, enc, None, src_mask,
-                               4, 16, alpha=1.0, n_best=3,
-                               return_prob="hyp", **kw)
-        finally:
-            if prev is None:
-                os.environ.pop("JOEYS2T_BEAM_REORDER", None)
-            else:
-                os.environ["JOEYS2T_BEAM_REORDER"] = prev
+        return beam_search(params, model, spec, enc, None, src_mask,
+                           4, 16, alpha=1.0, n_best=3,
+                           return_prob="hyp", beam_reorder=mode, **kw)
 
     def test_identical_to_physical(self, mt_model):
         out_l, sc_l, _ = self._run(mt_model, "lazy")
@@ -377,5 +372,33 @@ class TestLazyBeamReorder:
         kw = dict(decoder_prompt=decoder_prompt, trg_prompt_mask=mask)
         out_l, sc_l, _ = self._run(mt_model, "lazy", **kw)
         out_p, sc_p, _ = self._run(mt_model, "physical", **kw)
+        np.testing.assert_array_equal(out_l, out_p)
+        np.testing.assert_allclose(sc_l, sc_p, rtol=0, atol=3e-5)
+
+    def test_identical_with_int8_self_cache(self, mt_model):
+        """int8 self ring buffers compose with the ancestry map: scales are
+        stored per physical row and read through the same anc[b,k,s] index
+        as the int8 values, so lazy must equal physical on the SAME
+        quantized model — both paths quantize identically at write, the
+        only difference is where the beam permute happens."""
+        _, spec, params = mt_model
+        vocab = Vocabulary([f"t{i}" for i in range(VOCAB_SIZE - 4)],
+                           SpecialSymbols())
+        cfg8 = {
+            "cache_cross_int8": True,
+            "cache_self_int8": True,
+            "encoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+            "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                        "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                        "embeddings": {"embedding_dim": 16, "scale": True},
+                        "layer_norm": "pre"},
+        }
+        model_q, _ = build_model(cfg8, src_vocab=vocab, trg_vocab=vocab)
+        out_l, sc_l, _ = self._run(mt_model, "lazy", model_override=model_q)
+        out_p, sc_p, _ = self._run(mt_model, "physical",
+                                   model_override=model_q)
         np.testing.assert_array_equal(out_l, out_p)
         np.testing.assert_allclose(sc_l, sc_p, rtol=0, atol=3e-5)
