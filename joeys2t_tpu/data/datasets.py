@@ -380,11 +380,13 @@ class TsvDataset(BaseDataset):
                          encoding="utf-8", index_col=None)
         df = df.dropna().reset_index()
 
-        assert self.src_lang in df.columns
+        assert self.src_lang in df.columns, \
+            f"{tsv}: missing the {self.src_lang} column"
         # a reference-less tsv is only legal for test-time decoding
         if self.trg_lang not in df.columns:
+            assert self.split == "test", \
+                f"{tsv}: {self.trg_lang} column required outside test"
             self.has_trg = False
-            assert self.split == "test"
 
         sides = [self.src_lang] + ([self.trg_lang] if self.has_trg else [])
         for lang in sides:
@@ -447,18 +449,21 @@ class SpeechDataset(TsvDataset):
         df["n_frames"] = df[df["n_frames"] > min_frames]["n_frames"]
         df = df.replace(r"^\s*$", float("nan"), regex=True).dropna()
 
-        assert "src" in df.columns
-        if "trg" not in df.columns:
-            self.has_trg = False
-            assert self.split == "test"
-        if self.has_trg:
-            df["trg"] = df["trg"].apply(self.tokenizer["trg"].pre_process)
-        # audio has no src prompt; a trg_prompt column switches prompting on
+        assert "src" in df.columns, f"{file_path}: missing the src column"
+        # column-driven switches: audio manifests never carry a src prompt,
+        # and a manifest without transcripts is only legal at test time
         self.has_prompt["src"] = False
+        if "trg" not in df.columns:
+            assert self.split == "test", \
+                f"{file_path}: trg column required outside test"
+            self.has_trg = False
+        clean_trg = self.tokenizer["trg"].pre_process
+        if self.has_trg:
+            df["trg"] = df["trg"].map(clean_trg)
         if "trg_prompt" in df.columns:
             self.has_prompt["trg"] = True
-            clean = partial(self.tokenizer["trg"].pre_process, allow_empty=True)
-            df["trg_prompt"] = df["trg_prompt"].apply(clean)
+            df["trg_prompt"] = df["trg_prompt"].map(
+                partial(clean_trg, allow_empty=True))
         return df
 
     def _src_example(self, idx: int):

@@ -252,3 +252,30 @@ class ConformerEncoder(nn.Module):
             # positional call: deterministic is a static argnum under remat
             x = layer(x, mask, deterministic)
         return x, None, mask
+
+    # ------------------------------------------------- pipeline-parallel split
+    def pre_layers(
+        self,
+        src_embed: jnp.ndarray,
+        src_length: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        src_prompt_embed: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``__call__``'s prologue up to (excluding) the conformer layer
+        stack, for the GPipe pipeline path (same contract as
+        TransformerEncoder.pre_layers). Returns (x, mask)."""
+        del src_prompt_embed  # S2T encoder has no prompts
+        del mask  # always reconstructed from subsampled lengths
+        x, src_length = self.subsampler(src_embed, src_length)
+        mask = lengths_to_mask(src_length, x.shape[1])
+        pe = sinusoidal_pe(x.shape[1], x.shape[2]).astype(x.dtype)
+        x = x + pe[None, :, :]
+        x = self.linear(x)
+        x = self.emb_dropout_layer(x, deterministic=deterministic)
+        return x.astype(self.dtype), mask
+
+    def post_layers(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``__call__``'s epilogue: the conformer stack has no final norm
+        (each layer ends with its own), so this is the identity."""
+        return x

@@ -376,18 +376,19 @@ class TrainManager:
         routing sows aux losses that do not thread through shard_map
         microbatch rotation (documented scope, not a TODO)."""
         from joeys2t_tpu.models.decoders import TransformerDecoder
-        from joeys2t_tpu.models.encoders import TransformerEncoder
+        from joeys2t_tpu.models.encoders import ConformerEncoder, TransformerEncoder
         from joeys2t_tpu.models.modules import (
+            ConformerEncoderLayer,
             TransformerDecoderLayer,
             TransformerEncoderLayer,
         )
 
         enc, dec = model.encoder, model.decoder
         n_stages = self.mesh.mesh.shape["pipe"]
-        if not isinstance(enc, TransformerEncoder):
+        if not isinstance(enc, (TransformerEncoder, ConformerEncoder)):
             raise ConfigurationError(
-                "pipeline_parallel currently supports transformer encoders "
-                f"only (got {type(enc).__name__}).")
+                "pipeline_parallel supports transformer and conformer "
+                f"encoders (got {type(enc).__name__}).")
         if getattr(enc, "num_experts", 0):
             raise ConfigurationError(
                 "pipeline_parallel does not compose with MoE encoders.")
@@ -399,12 +400,22 @@ class TrainManager:
         self._pp_microbatches = m if m > 0 else 2 * n_stages
         # standalone layer modules, applied per-stage with the per-layer
         # param subtrees (params.{encoder,decoder}.layer_i) stacked over `pipe`
-        self._pp_layer = TransformerEncoderLayer(
-            size=enc.hidden_size, ff_size=enc.ff_size,
-            num_heads=enc.num_heads, dropout=enc.dropout, alpha=enc.alpha,
-            layer_norm_position=enc.layer_norm_position,
-            activation=enc.activation, dtype=enc.dtype,
-            attn_impl=enc.attn_impl)
+        if isinstance(enc, ConformerEncoder):
+            self._pp_layer = ConformerEncoderLayer(
+                size=enc.hidden_size, ff_size=enc.ff_size,
+                num_heads=enc.num_heads, dropout=enc.dropout, alpha=enc.alpha,
+                layer_norm_position=enc.layer_norm_position,
+                depthwise_conv_kernel_size=enc.depthwise_conv_kernel_size,
+                dtype=enc.dtype, attn_impl=enc.attn_impl,
+                conv_norm_type=enc.conv_norm_type, macaron=enc.macaron,
+                layerscale_init=enc.layerscale_init)
+        else:
+            self._pp_layer = TransformerEncoderLayer(
+                size=enc.hidden_size, ff_size=enc.ff_size,
+                num_heads=enc.num_heads, dropout=enc.dropout, alpha=enc.alpha,
+                layer_norm_position=enc.layer_norm_position,
+                activation=enc.activation, dtype=enc.dtype,
+                attn_impl=enc.attn_impl)
         self._pp_dec_layer = None
         if (isinstance(dec, TransformerDecoder)
                 and dec.num_layers % n_stages == 0):

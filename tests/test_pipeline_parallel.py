@@ -204,6 +204,116 @@ def test_decode_pre_post_layers_match_full_decode():
     del spec
 
 
+def test_conformer_encoder_pipeline_split_matches_full_encode():
+    """Conformer encoders stage over `pipe` too (r5): pre_layers ->
+    pipeline_apply over the ConformerEncoderLayer stack -> post_layers must
+    reproduce the sequential encode exactly."""
+    from joeys2t_tpu.config import SpecialSymbols
+    from joeys2t_tpu.models import build_model
+    from joeys2t_tpu.models.modules import ConformerEncoderLayer
+    from joeys2t_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary([str(i) for i in range(10)], SpecialSymbols())
+    cfg = {
+        "encoder": {"type": "conformer", "num_layers": 4, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "emb_dropout": 0.0, "in_channels": 8,
+                    "conv_channels": 16, "conv_kernel_sizes": [3, 3],
+                    "depthwise_conv_kernel_size": 7, "layer_norm": "pre",
+                    "embeddings": {"embedding_dim": 8}},
+        "decoder": {"type": "transformer", "num_layers": 2, "num_heads": 2,
+                    "hidden_size": 16, "ff_size": 32, "dropout": 0.0,
+                    "layer_norm": "pre",
+                    "embeddings": {"embedding_dim": 16, "scale": True}},
+        "attention_impl": "xla",
+    }
+    model, _ = build_model(cfg, src_vocab=None, trg_vocab=vocab)
+
+    rng = np.random.RandomState(5)
+    b, t = 2, 37
+    src = jnp.asarray(rng.randn(b, t, 8).astype(np.float32))
+    src_len = jnp.asarray([t, t - 9], jnp.int32)
+    trg_in = jnp.asarray(rng.randint(4, 10, size=(b, 3)).astype(np.int32))
+    trg_mask = jnp.ones((b, 1, 3), bool)
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, trg_in,
+                        src_len, None, trg_mask, deterministic=True)["params"]
+
+    want, _, want_mask = model.apply({"params": params}, src, src_len, None,
+                                     method="encode")
+
+    x, mask = model.apply({"params": params}, src, src_len, None,
+                          deterministic=True, method="encode_pre_layers")
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
+    enc = model.encoder
+    layer = ConformerEncoderLayer(
+        size=enc.hidden_size, ff_size=enc.ff_size, num_heads=enc.num_heads,
+        dropout=0.0, alpha=enc.alpha,
+        layer_norm_position=enc.layer_norm_position,
+        depthwise_conv_kernel_size=enc.depthwise_conv_kernel_size,
+        attn_impl=enc.attn_impl, conv_norm_type=enc.conv_norm_type,
+        macaron=enc.macaron, layerscale_init=enc.layerscale_init)
+
+    def layer_fn(p, h, m):
+        return layer.apply({"params": p}, h, m, True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+    stacked = stack_layer_params(
+        [params["encoder"][f"layer_{i}"] for i in range(4)])
+    got = pipeline_apply(layer_fn, stacked, x, 2, mesh, "pipe", mask)
+    got = model.apply({"params": params}, got, method="encode_post_layers")
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+
+def test_train_manager_accepts_conformer_pipeline():
+    """_init_pipeline builds a ConformerEncoderLayer stage for conformer
+    encoders instead of rejecting them (r5 scope widening)."""
+    from joeys2t_tpu.models.modules import ConformerEncoderLayer
+
+    class _Enc:
+        num_layers = 4
+        hidden_size = 16
+        ff_size = 32
+        num_heads = 2
+        dropout = 0.0
+        alpha = 1.0
+        layer_norm_position = "pre"
+        depthwise_conv_kernel_size = 7
+        dtype = jnp.float32
+        attn_impl = "xla"
+        conv_norm_type = "layernorm"
+        macaron = "reference"
+        layerscale_init = 0.0
+        num_experts = 0
+
+    from joeys2t_tpu.models.encoders import ConformerEncoder
+    from joeys2t_tpu.training import TrainManager
+
+    enc = ConformerEncoder(hidden_size=16, ff_size=32, num_layers=4,
+                           num_heads=2, dropout=0.0, in_channels=8,
+                           conv_channels=16, depthwise_conv_kernel_size=7,
+                           attn_impl="xla")
+
+    class _Model:
+        encoder = enc
+        decoder = object()  # not a TransformerDecoder -> replicated
+
+    class _Mesh:
+        class mesh:
+            shape = {"pipe": 2}
+
+    class _Args:
+        pipeline_microbatches = 0
+
+    tm = TrainManager.__new__(TrainManager)
+    tm.mesh = _Mesh()
+    tm.args = _Args()
+    tm._init_pipeline(_Model())
+    assert isinstance(tm._pp_layer, ConformerEncoderLayer)
+    assert tm._pp_layer.depthwise_conv_kernel_size == 7
+    assert tm._pp_dec_layer is None
+    assert tm._pp_microbatches == 4
+
+
 def test_pipeline_gradients_match():
     """The GPipe backward schedule falls out of autodiff through ppermute."""
     _, layer_fn, per_layer, x, mask = make_stack()
