@@ -1,4 +1,4 @@
-.PHONY: install test test-fast bench check ci format clean
+.PHONY: install test test-fast test-budget bench check ci format clean
 
 install:
 	pip install -e .
@@ -10,6 +10,11 @@ test:
 # multi-process SPMD, torch-oracle parity) - see tests/conftest.py
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
+
+# Wall-time budget gate for the FULL suite (fast + slow): per-module
+# timing table + fail above JOEYS2T_TEST_BUDGET_S (default 1500s = 25min)
+test-budget:
+	python scripts/test_budget.py
 
 bench:
 	python bench.py
