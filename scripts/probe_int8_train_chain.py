@@ -21,7 +21,6 @@ Run on the real TPU:  python scripts/probe_int8_train_chain.py
 """
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))

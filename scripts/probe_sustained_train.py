@@ -26,7 +26,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
