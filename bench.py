@@ -172,9 +172,11 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
     if tx is None:
         tx = optax.adamw(1e-4)
     # the step below donates its state args; copy so the caller's params
-    # survive and this helper stays re-entrant
-    params = jax.tree.map(jnp.copy, params)
-    opt_state = tx.init(params)
+    # survive and this helper stays re-entrant. One jitted call instead of
+    # eager per-leaf copies + tx.init: ~400 eager dispatches through the
+    # remote relay cost a round-trip each.
+    params, opt_state = jax.jit(
+        lambda p: (jax.tree.map(jnp.copy, p), tx.init(p)))(params)
 
     from functools import partial
 
@@ -387,13 +389,54 @@ def section_sustained(steps=12, warmup=3):
 
 
 def _init_flagship_params(model):
+    """Init params once per architecture, memoized to a host-side .npz.
+
+    Every section runs in its own subprocess, and the on-device init of
+    the ~93-132M-param flagship costs anywhere from 40s to 450s through
+    the remote relay (observed variance; the jit executable is cached but
+    the relay round-trips are not). Re-uploading saved f32 weights is a
+    predictable ~10-15s at the tunnel's ~35 MB/s, so sections after the
+    first (and every section of a later run) skip the init entirely.
+    Values are bit-identical either way: the file stores exactly what the
+    seeded init produced.
+    """
+    import hashlib
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
     src0 = jnp.zeros((2, 16, 80), jnp.float32)
-    return jax.jit(model.init, static_argnames=("deterministic",))(
-        {"params": jax.random.PRNGKey(0)}, src0, jnp.ones((2, 8), jnp.int32),
-        jnp.full((2,), 16, jnp.int32), None, jnp.ones((2, 1, 8), bool),
-        deterministic=True)["params"]
+    init_args = ({"params": jax.random.PRNGKey(0)}, src0,
+                 jnp.ones((2, 8), jnp.int32), jnp.full((2,), 16, jnp.int32),
+                 None, jnp.ones((2, 1, 8), bool))
+
+    # structural key: shapes+dtypes from an abstract trace (no compile)
+    shapes = jax.eval_shape(
+        lambda rngs, *a: model.init(rngs, *a, deterministic=True),
+        *init_args)["params"]
+    sig = sorted((".".join(map(str, k)), str(v.shape), str(v.dtype))
+                 for k, v in flatten_dict(shapes).items())
+    key = hashlib.sha1(repr(sig).encode()).hexdigest()[:16]
+    cache = _HERE / ".bench_params" / f"params_{key}.npz"
+
+    if cache.exists():
+        flat = dict(np.load(cache))
+        params = unflatten_dict(
+            {tuple(k.split("/")): jax.device_put(v) for k, v in flat.items()})
+        jax.block_until_ready(jax.tree.leaves(params))
+        return params
+
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        *init_args, deterministic=True)["params"]
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    flat = {"/".join(map(str, k)): np.asarray(jax.device_get(v))
+            for k, v in flatten_dict(params).items()}
+    tmp = cache.with_suffix(".tmp.npz")
+    np.savez(tmp, **flat)
+    tmp.replace(cache)
+    return params
 
 
 SECTIONS = {
