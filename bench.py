@@ -466,6 +466,14 @@ SECTION_ORDER = ("greedy", "train", "conformer_train", "beam", "int8",
 SECTION_CAPS = {"greedy": 520, "train": 420, "conformer_train": 360,
                 "beam": 360, "int8": 240, "sustained": 300}
 
+# minimum budget worth launching a section with: warm-cache wall costs
+# measured on the round-5 chip (greedy 59s / train 203s / conformer 300s /
+# beam 99s / int8 73s). Launching with less burns the tail of the budget
+# on a section guaranteed to die at its timeout (the r5 full run spent its
+# last 166s on a sustained attempt that needed ~300s).
+SECTION_MIN = {"greedy": 60, "train": 160, "conformer_train": 180,
+               "beam": 90, "int8": 70, "sustained": 240}
+
 _MARK = "@@BENCH_SECTION@@"
 
 
@@ -524,8 +532,10 @@ def main():
     degraded = False
     for name in SECTION_ORDER:
         remaining = budget - (time.monotonic() - t0)
-        if remaining < 45.0:
-            detail[f"{name}_skipped"] = f"budget ({remaining:.0f}s left)"
+        need = max(45.0, SECTION_MIN.get(name, 45.0))
+        if remaining < need:
+            detail[f"{name}_skipped"] = (
+                f"budget ({remaining:.0f}s left, needs ~{need:.0f}s warm)")
             if name in NORTH_STARS:
                 degraded = True
             _emit(detail, degraded)

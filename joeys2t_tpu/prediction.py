@@ -503,7 +503,31 @@ def evaluate(valid_scores: Dict, valid_hyp: List, data,
 
 
 def init_params(model, spec, args, src_vocab, trg_vocab):
-    """Shape-init the flax params then apply the configured initializers."""
+    """Shape-init the flax params then apply the configured initializers.
+
+    All init math runs on the host CPU backend: an eager init of a
+    ~100M-param model dispatched op-by-op to a remote TPU costs minutes of
+    relay round-trips, while host init + one bulk transfer is seconds. The
+    returned tree lives on the default device as before (TrainManager
+    re-shards onto the mesh afterwards).
+    """
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # no CPU backend registered: init in place
+        cpu0 = jax.devices()[0]
+    with jax.default_device(cpu0):
+        params = _init_params_on_host(model, args, src_vocab, trg_vocab)
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
+        jax.block_until_ready(jax.tree.leaves(params))
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    logger.info("Total params: %d", n_params)
+    return params
+
+
+def _init_params_on_host(model, args, src_vocab, trg_vocab):
+    """The device-agnostic part of init_params (runs under default_device)."""
     rng = jax.random.PRNGKey(args.seed)
     if args.task == "MT":
         src = jnp.ones((2, 5), jnp.int32)
@@ -543,9 +567,6 @@ def init_params(model, spec, args, src_vocab, trg_vocab):
         cur = np.asarray(params["trg_embed"]["lut"]["embedding"])
         params["trg_embed"]["lut"]["embedding"] = jnp.asarray(
             np.where(np.isnan(table), cur, table))
-
-    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
-    logger.info("Total params: %d", n_params)
     return params
 
 
