@@ -676,7 +676,13 @@ class TrainManager:
         profile_dir = os.environ.get("JOEYS2T_PROFILE_DIR") or (
             str(self.args.profile_dir)
             if getattr(self.args, "profile_dir", None) else None)
-        profile_window = (10, 20) if profile_dir else None
+        profile_window = None
+        if profile_dir:
+            # JOEYS2T_PROFILE_WINDOW="start,stop" narrows the traced step
+            # range (host-side tracing overhead is real on slow hosts)
+            raw = os.environ.get("JOEYS2T_PROFILE_WINDOW", "10,20")
+            lo, hi = (int(v) for v in raw.split(","))
+            profile_window = (lo, hi)
 
         epoch_no = self.stats.epochs
         prepared_stream = None

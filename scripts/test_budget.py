@@ -39,10 +39,13 @@ def main():
     wall = time.monotonic() - t0
 
     per_module = defaultdict(float)
+    per_test = []
     for line in proc.stdout.splitlines():
         m = _DUR.match(line)
         if m:
             per_module[m.group(3)] += float(m.group(1))
+            if m.group(2) == "call":
+                per_test.append((float(m.group(1)), line.strip()))
 
     tail = proc.stdout.strip().splitlines()
     summary = tail[-1] if tail else "(no output)"
@@ -51,6 +54,10 @@ def main():
     for mod, s in shown:
         if s >= 1.0:
             print(f"  {s:8.1f}s  {mod}")
+    print(f"\n[test-budget] top individual tests:")
+    for s, line in sorted(per_test, reverse=True)[:20]:
+        print(f"  {line}")
+
     print(f"\n[test-budget] pytest: {summary}")
     print(f"[test-budget] wall: {wall:.1f}s of {budget:.0f}s budget "
           f"({100.0 * wall / budget:.0f}%)")

@@ -12,14 +12,23 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_llvm_disable_expensive_passes" not in _flags:
+    # tests compile hundreds of tiny graphs on one CPU core; the expensive
+    # LLVM passes buy runtime that no 16-hidden model ever recoups. FP
+    # semantics are unchanged (no fast-math), so golden/parity values hold.
+    _flags = (_flags + " --xla_llvm_disable_expensive_passes=true").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from pathlib import Path  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Modules dominated by e2e CLI training, multi-process SPMD spawns, or
 # torch-oracle parity at realistic sizes — excluded from `make test-fast`
@@ -67,3 +76,30 @@ def pytest_collection_modifyitems(config, items):
             if (name, part.split("[")[0]) in _SLOW_TESTS:
                 item.add_marker(pytest.mark.slow)
                 break
+
+
+@pytest.fixture(scope="session")
+def trained_s2t(tmp_path_factory):
+    """ONE trained tiny-S2T snapshot shared by the e2e modules.
+
+    Returns (workdir, pristine_cfg, model_dir): the config is the pristine
+    pre-train() copy (train() resolves paths and dataclasses in place), the
+    model_dir holds ckpts/vocab/validations/hypotheses from a full
+    train -> validate -> test cycle. Consumers must treat the directory as
+    read-only apart from additive writes (e.g. dumping a config.yaml).
+    """
+    from s2t_fixtures import REF_SPEECH, s2t_cfg
+
+    if not REF_SPEECH.is_dir():
+        pytest.skip("reference fixtures absent")
+    import copy
+
+    from joeys2t_tpu.helpers import make_model_dir
+    from joeys2t_tpu.training import train
+
+    tmp = tmp_path_factory.mktemp("s2t_shared")
+    cfg = s2t_cfg(tmp)
+    pristine = copy.deepcopy(cfg)
+    make_model_dir(Path(cfg["model_dir"]))
+    train(cfg, skip_test=False)
+    return tmp, pristine, Path(cfg["model_dir"])

@@ -2,9 +2,7 @@
 """Raw-waveform serving (joeys2t_tpu/serving.py): the fully on-device
 wav -> text path must run end-to-end on a trained S2T snapshot, and its
 on-device features must match the host SpeechProcessor pipeline."""
-import dataclasses
 import sys
-import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -13,30 +11,27 @@ import yaml
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-from test_s2t_e2e import REF_SPEECH, s2t_cfg  # noqa: E402
+from s2t_fixtures import REF_SPEECH  # noqa: E402
 
-from joeys2t_tpu.helpers import make_model_dir  # noqa: E402
 from joeys2t_tpu.hub_interface import load_model_dir  # noqa: E402
 from joeys2t_tpu.serving import Transcriber  # noqa: E402
-from joeys2t_tpu.training import train  # noqa: E402
 
 needs_ref = pytest.mark.skipif(not REF_SPEECH.is_dir(),
                                reason="reference fixtures absent")
 
 
 @pytest.fixture(scope="module")
-def s2t_model_dir():
-    tmp = Path(tempfile.mkdtemp())
-    cfg = s2t_cfg(tmp)
-    make_model_dir(Path(cfg["model_dir"]))
-    train(cfg, skip_test=True)
+def s2t_model_dir(trained_s2t):
+    """The shared session snapshot, with a config.yaml dumped alongside it
+    so load_model_dir can pick the model up like a published dir."""
+    _, pristine_cfg, model_dir = trained_s2t
+    import copy
+
+    cfg = copy.deepcopy(pristine_cfg)
     cfg["testing"]["load_model"] = "latest.ckpt"
-    if dataclasses.is_dataclass(cfg["data"].get("special_symbols")):
-        cfg["data"]["special_symbols"] = dataclasses.asdict(
-            cfg["data"]["special_symbols"])
-    with (Path(cfg["model_dir"]) / "config.yaml").open("w") as f:
+    with (model_dir / "config.yaml").open("w") as f:
         yaml.safe_dump(cfg, f)
-    return Path(cfg["model_dir"])
+    return model_dir
 
 
 @needs_ref

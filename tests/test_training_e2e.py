@@ -99,17 +99,17 @@ def test_resume_from_checkpoint(reverse_env):
 
 def test_cli_test_mode_save_attention_and_scores(reverse_env):
     """`test` mode with -a/-s: attention heatmaps and token scores must be
-    written alongside the hypotheses (joeynmt/prediction.py:560-615)."""
+    written alongside the hypotheses (joeynmt/prediction.py:560-615).
+    Reuses the model test_train_validate_test trained in this module's
+    shared dir rather than training another one."""
     import copy
 
     from joeys2t_tpu.prediction import test as run_test
 
     tmp, cfg = reverse_env
-    cfg = copy.deepcopy(cfg)
-    cfg["model_dir"] = (tmp / "model_attn").as_posix()  # fixture is shared
-    make_model_dir(Path(cfg["model_dir"]))
-    train(cfg, skip_test=True)
     model_dir = Path(cfg["model_dir"])
+    assert (model_dir / "latest.ckpt").exists(), \
+        "run test_train_validate_test first"
 
     cfg2 = copy.deepcopy(cfg)
     cfg2["testing"]["load_model"] = (model_dir / "latest.ckpt").resolve().as_posix()
@@ -126,16 +126,18 @@ def test_cli_test_mode_save_attention_and_scores(reverse_env):
 
 
 def test_profiler_hook_writes_trace(reverse_env, monkeypatch, tmp_path):
-    """JOEYS2T_PROFILE_DIR captures a profiler trace of steps 10-20
-    (observability upgrade over the reference's wall-clock logging)."""
+    """JOEYS2T_PROFILE_DIR captures a profiler trace of the configured step
+    window (observability upgrade over the reference's wall-clock logging)."""
     import copy
 
     tmp, cfg = reverse_env
     cfg = copy.deepcopy(cfg)
     cfg["model_dir"] = (tmp / "model_prof").as_posix()
-    cfg["training"].update(epochs=3)  # ~30 steps -> crosses the 10-20 window
+    cfg["training"].update(epochs=2)  # ~20 steps -> crosses the 10-13 window
     trace_dir = tmp_path / "trace"
     monkeypatch.setenv("JOEYS2T_PROFILE_DIR", trace_dir.as_posix())
+    # 3 traced steps prove the hook; 10 would just burn host tracing time
+    monkeypatch.setenv("JOEYS2T_PROFILE_WINDOW", "10,13")
     make_model_dir(Path(cfg["model_dir"]))
     train(cfg, skip_test=True)
     files = list(trace_dir.rglob("*")) if trace_dir.exists() else []
