@@ -32,11 +32,22 @@ def main():
     budget = float(os.environ.get("JOEYS2T_TEST_BUDGET_S", "1500"))
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q",
            "--durations=0", "--durations-min=0.5"]
-    print(f"[test-budget] running: {' '.join(cmd)} (budget {budget:.0f}s)",
-          flush=True)
+    # Fresh empty compilation-cache dir: the budget gate measures the
+    # cold-cache wall time (in-run HLO dedupe still applies — that is the
+    # suite's own efficiency — but nothing is inherited from prior runs).
+    import shutil
+    import tempfile
+    cache_dir = tempfile.mkdtemp(prefix="joeys2t_budget_jaxcache_")
+    env = {**os.environ, "JAX_COMPILATION_CACHE_DIR": cache_dir}
+    print(f"[test-budget] running: {' '.join(cmd)} (budget {budget:.0f}s, "
+          f"cold compile cache)", flush=True)
     t0 = time.monotonic()
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-    wall = time.monotonic() - t0
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                              env=env)
+        wall = time.monotonic() - t0
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
     per_module = defaultdict(float)
     per_test = []

@@ -18,12 +18,43 @@ if "xla_llvm_disable_expensive_passes" not in _flags:
     # LLVM passes buy runtime that no 16-hidden model ever recoups. FP
     # semantics are unchanged (no fast-math), so golden/parity values hold.
     _flags = (_flags + " --xla_llvm_disable_expensive_passes=true").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # same trade at the HLO level: opt level 0 cuts compile wall ~30% on
+    # the compile-bound e2e tests (rnn_reverse: 75s -> 50s) and the tiny
+    # test models never recoup the lost runtime. No fast-math here either;
+    # the golden/parity modules (loss, audio, flash, search) stay green —
+    # re-verify them if this flag ever changes.
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
 os.environ["XLA_FLAGS"] = _flags
+
+# Persistent XLA compilation cache for the suite. The e2e modules call
+# train()/predict() many times, and every call builds NEW jit closures, so
+# the in-process jit cache never dedupes their (identical-HLO) graphs — on
+# this 1-core host each recompile costs seconds to minutes. The on-disk
+# cache dedupes by HLO hash: repeat train() calls, the 2-process multihost
+# children (they inherit the env var), and repeat `make test`/`make
+# test-fast` runs all hit it. Executables are bit-identical to a fresh
+# compile, so golden/parity values are unaffected. scripts/test_budget.py
+# overrides the env var with a fresh empty dir so the budget gate always
+# measures a cold-cache run.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if not _cache_dir:
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# XLA:CPU logs a spurious per-load ERROR about the "prefer-no-scatter"/
+# "prefer-no-gather" compile PREFERENCES not being host machine FEATURES
+# when it loads a cached executable (same machine compiled it; the load
+# succeeds). Silence the C++ log stream; real failures still raise.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 
 from pathlib import Path  # noqa: E402
 

@@ -18,7 +18,9 @@ REPO = Path(__file__).parent.parent
 
 WORKER = textwrap.dedent("""
     import os, sys
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                           " --xla_llvm_disable_expensive_passes=true"
+                           " --xla_backend_optimization_level=0")
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
@@ -130,7 +132,9 @@ def test_two_process_data_parallel_train_step():
 
 PREDICT_WORKER = textwrap.dedent("""
     import os, sys, json
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                           " --xla_llvm_disable_expensive_passes=true"
+                           " --xla_backend_optimization_level=0")
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
@@ -213,17 +217,17 @@ def test_two_process_predict_order_matches_single_process(tmp_path):
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg_pristine))
 
-    def run_predict(nproc):
+    def run_predict_two_proc():
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = str(s.getsockname()[1])
         code = PREDICT_WORKER % (REPO.as_posix(),)
         env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": ""}
         procs = [subprocess.Popen(
-            [sys.executable, "-c", code, str(i), port, str(nproc),
+            [sys.executable, "-c", code, str(i), port, "2",
              cfg_path.as_posix()],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
-            for i in range(nproc)]
+            for i in range(2)]
         outs = []
         for p in procs:
             out, _ = p.communicate(timeout=300)
@@ -238,8 +242,32 @@ def test_two_process_predict_order_matches_single_process(tmp_path):
             n_decoded.append(int(nline.split()[1]))
         return hyps, n_decoded
 
-    (single,), (n_single,) = run_predict(1)
-    double, n_double = run_predict(2)
+    def run_predict_in_process():
+        # the 1-process baseline needs no distributed runtime: the same
+        # library calls the worker makes, minus a ~20s interpreter+compile
+        # boot that bought no extra coverage
+        from joeys2t_tpu.config import parse_global_args
+        from joeys2t_tpu.prediction import predict, prepare
+
+        args = parse_global_args(
+            yaml.safe_load(cfg_path.read_text()), rank=0, mode="test")
+        model, spec, params, loss_fn, _, dev_data, _ = prepare(
+            args, rank=0, mode="test")
+        dev_data.reset_indices(random_subset=-1)
+        import joeys2t_tpu.prediction as P
+        orig_search, n_calls = P.search, []
+        P.search = lambda *a, **k: (n_calls.append(1), orig_search(*a, **k))[1]
+        try:
+            _, _, hyp, _, _, _ = predict(
+                params=params, model=model, spec=spec, data=dev_data,
+                loss_fn=loss_fn, compute_loss=False, normalization="batch",
+                num_workers=0, args=args.test)
+        finally:
+            P.search = orig_search
+        return hyp, len(n_calls)
+
+    single, n_single = run_predict_in_process()
+    double, n_double = run_predict_two_proc()
     assert len(single) == 12
     assert n_single == 3  # 12 examples at batch_size 5 -> 3 batches
     # each rank decodes only its round-robin share of the batches...
@@ -251,7 +279,9 @@ def test_two_process_predict_order_matches_single_process(tmp_path):
 
 TRAIN_MANAGER_WORKER = textwrap.dedent("""
     import os, sys
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                           " --xla_llvm_disable_expensive_passes=true"
+                           " --xla_backend_optimization_level=0")
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])

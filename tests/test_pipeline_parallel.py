@@ -57,7 +57,7 @@ def test_pipeline_microbatch_counts():
     want = sequential(layer_fn, per_layer, x, mask)
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
     stacked = stack_layer_params(per_layer)
-    for m in (1, 2, 8):  # including degenerate single microbatch
+    for m in (1, 8):  # degenerate single microbatch + fully split
         got = pipeline_apply(layer_fn, stacked, x, m, mesh, "pipe", mask)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    atol=1e-5, err_msg=f"m={m}")

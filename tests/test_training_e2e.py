@@ -133,11 +133,12 @@ def test_profiler_hook_writes_trace(reverse_env, monkeypatch, tmp_path):
     tmp, cfg = reverse_env
     cfg = copy.deepcopy(cfg)
     cfg["model_dir"] = (tmp / "model_prof").as_posix()
-    cfg["training"].update(epochs=2)  # ~20 steps -> crosses the 10-13 window
+    cfg["training"].update(epochs=1)  # ~10 steps -> crosses the 4-6 window
     trace_dir = tmp_path / "trace"
     monkeypatch.setenv("JOEYS2T_PROFILE_DIR", trace_dir.as_posix())
-    # 3 traced steps prove the hook; 10 would just burn host tracing time
-    monkeypatch.setenv("JOEYS2T_PROFILE_WINDOW", "10,13")
+    # 3 traced steps prove the hook (past the step-1 compile); more epochs
+    # or a later window would just burn host tracing time
+    monkeypatch.setenv("JOEYS2T_PROFILE_WINDOW", "4,6")
     make_model_dir(Path(cfg["model_dir"]))
     train(cfg, skip_test=True)
     files = list(trace_dir.rglob("*")) if trace_dir.exists() else []
@@ -155,6 +156,9 @@ def test_adafactor_bf16_moments_train(reverse_env):
     cfg["model_dir"] = (tmp / "adafactor_model").as_posix()
     cfg["training"].update(optimizer="adafactor", learning_rate=1e-2,
                            weight_decay=0.01, epochs=1)
+    # 2 steps per train() are enough to exercise factored-state update +
+    # round-trip; the full 300-sample epoch adds nothing but wall time
+    cfg["data"]["sample_train_subset"] = 64
     make_model_dir(Path(cfg["model_dir"]))
     train(cfg, skip_test=True)
     model_dir = Path(cfg["model_dir"])
@@ -179,9 +183,12 @@ def test_rnn_reverse_config_trains(reverse_env):
     cfg["model_dir"] = (tmp / "rnn_model").as_posix()
     cfg["data"].update(
         train=(data_dir / "train").as_posix(), dev=(data_dir / "dev").as_posix(),
-        test=(data_dir / "test").as_posix(), sample_train_subset=-1,
+        test=(data_dir / "test").as_posix(), sample_train_subset=64,
         sample_dev_subset=-1)
-    cfg["training"].update(epochs=1, validation_freq=10, logging_freq=10,
+    # 2 train steps + 1 recurrent-greedy validation: the LSTM scan graphs
+    # (the thing under test) compile either way; a longer epoch only
+    # re-executes them
+    cfg["training"].update(epochs=1, validation_freq=2, logging_freq=1,
                            batch_size=32)
     make_model_dir(Path(cfg["model_dir"]))
     train(cfg, skip_test=True)
