@@ -159,14 +159,20 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
     from joeys2t_tpu.losses import XentCTCLoss
 
     rng = np.random.RandomState(2)
-    src = jnp.asarray(rng.randn(batch_size, n_frames, 80).astype(np.float32))
-    src_length = jnp.full((batch_size,), n_frames, jnp.int32)
-    trg = jnp.asarray(
-        rng.randint(4, 1000, size=(batch_size, trg_len)).astype(np.int32))
-    trg_input = trg[:, :-1]
-    trg_out = trg[:, 1:]
-    trg_mask = jnp.ones((batch_size, 1, trg_len - 1), bool)
-    trg_length = jnp.full((batch_size,), trg_len - 1, jnp.int32)
+    # batch travels as explicit jit arguments, NOT closure captures: a
+    # closed-over (B,1000,80) f32 batch is baked into the HLO as a ~60MB
+    # literal, which both bloats the compile and defeats the persistent
+    # compilation cache (every run re-serializes/re-keys the constant) —
+    # the r5 "warm" train section still cost ~200s for a ~2s measurement.
+    batch = {
+        "src": jnp.asarray(
+            rng.randn(batch_size, n_frames, 80).astype(np.float32)),
+        "src_length": jnp.full((batch_size,), n_frames, jnp.int32),
+        "trg": jnp.asarray(
+            rng.randint(4, 1000, size=(batch_size, trg_len)).astype(np.int32)),
+        "trg_mask": jnp.ones((batch_size, 1, trg_len - 1), bool),
+        "trg_length": jnp.full((batch_size,), trg_len - 1, jnp.int32),
+    }
     loss_fn = XentCTCLoss(pad_index=spec.pad_index, bos_index=spec.bos_index,
                           smoothing=0.1, ctc_weight=0.3)
     if tx is None:
@@ -182,13 +188,15 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
 
     # donate like the real TrainManager step: state is updated in place
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, dummy):
+    def train_step(params, opt_state, b):
+        trg_input, trg_out = b["trg"][:, :-1], b["trg"][:, 1:]
+
         def loss(p):
             logits, ctc_logits, out_mask = model.apply(
-                {"params": p}, src + dummy, trg_input, src_length, None,
-                trg_mask, deterministic=True)
+                {"params": p}, b["src"], trg_input, b["src_length"], None,
+                b["trg_mask"], deterministic=True)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            total, _, _ = loss_fn(lp, trg=trg_out, trg_length=trg_length,
+            total, _, _ = loss_fn(lp, trg=trg_out, trg_length=b["trg_length"],
                                   src_mask=out_mask, ctc_logits=ctc_logits)
             return total / batch_size
 
@@ -212,7 +220,7 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
     model_flops = 6.0 * batch_size * (n_enc * (n_frames // 4)
                                       + (n_all - n_enc - n_sub) * (trg_len - 1))
 
-    p, o, l = train_step(params, opt_state, jnp.float32(0))
+    p, o, l = train_step(params, opt_state, batch)
     np.asarray(l)  # force completion (remote backend)
     # best-of-2 passes: one transient relay hiccup or host-CPU stall must
     # not masquerade as the sustained step time (r3 weak #1)
@@ -220,7 +228,7 @@ def _train_step_throughput(model, spec, params, batch_size, n_frames=1000,
     for _ in range(2):
         start = time.perf_counter()
         for i in range(iters):
-            p, o, l = train_step(p, o, jnp.float32(i) * 1e-9)
+            p, o, l = train_step(p, o, batch)
         np.asarray(l)
         best = min(best, time.perf_counter() - start)
     elapsed = best / iters
@@ -423,8 +431,10 @@ def _init_flagship_params(model):
 
     if cache.exists():
         flat = dict(np.load(cache))
-        params = unflatten_dict(
-            {tuple(k.split("/")): jax.device_put(v) for k, v in flat.items()})
+        # one device_put over the whole tree: per-leaf puts through the
+        # remote relay cost a dispatch round-trip each (~300 leaves)
+        params = jax.device_put(
+            unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()}))
         jax.block_until_ready(jax.tree.leaves(params))
         return params
 
